@@ -1,0 +1,124 @@
+"""Device-side BPR negative sampling and epoch batching.
+
+The reference draws one uniform negative per interaction by host-Python
+rejection sampling inside DataLoader workers (main.py:349-363: redraw
+until the candidate is not in the user's train-positive set).  That
+pattern is host-bound and unusable under jit, so the TPU-native design
+moves sampling onto the device while preserving the distribution —
+uniform over each user's non-positive items:
+
+* train positives live on device as a CSR-ish pair
+  (``user_ptr``[U+1], ``flat_items``[nnz]) with per-user item lists
+  sorted ascending;
+* membership tests are a vectorized branch-free binary search
+  (``log2(max_degree)`` iterations on the VPU) — no padded
+  [users x max_degree] table, so memory stays O(nnz);
+* rejection runs as a fixed number of redraw rounds under
+  ``lax.fori_loop``.  With catalog density < 10% the probability any
+  sample is still colliding after 16 rounds is < 1e-16; such samples
+  keep their last draw (measure-zero deviation, noted for parity).
+
+Epoch batching mirrors shuffled DataLoader epochs (main.py:462-464): a
+device-side permutation reshaped to [steps, batch]; the trailing partial
+batch is completed by wrapping to the permutation head (the reference's
+final short batch — a deviation within run-to-run variance).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def membership_arrays(
+    user_idx: np.ndarray, item_idx: np.ndarray, num_users: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Build (user_ptr, flat_items): per-user sorted positive item lists."""
+    order = np.lexsort((item_idx, user_idx))
+    u_sorted = np.asarray(user_idx)[order]
+    flat_items = np.asarray(item_idx)[order].astype(np.int32)
+    counts = np.bincount(u_sorted, minlength=num_users)
+    user_ptr = np.zeros(num_users + 1, dtype=np.int32)
+    np.cumsum(counts, out=user_ptr[1:])
+    return user_ptr, flat_items
+
+
+def _is_positive(flat_items, user_ptr, users, cands, n_iters: int):
+    """Vectorized lower-bound binary search membership test."""
+    lo = user_ptr[users]
+    hi = user_ptr[users + 1]
+    end = hi
+    n = flat_items.shape[0]
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        v = flat_items[jnp.minimum(mid, n - 1)]
+        go_right = v < cands
+        return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, n_iters, body, (lo, hi))
+    found_val = flat_items[jnp.minimum(lo, n - 1)]
+    return (lo < end) & (found_val == cands)
+
+
+def make_negative_sampler(
+    user_ptr: np.ndarray,
+    flat_items: np.ndarray,
+    num_items: int,
+    n_rounds: int = 16,
+):
+    """Return a jittable ``sample(key, users) -> neg_items`` function."""
+    if len(flat_items) == 0:
+        # no positives at all -> plain uniform draws
+        @jax.jit
+        def sample_uniform(key: jax.Array, users: jax.Array) -> jax.Array:
+            return jax.random.randint(key, users.shape, 0, num_items, dtype=jnp.int32)
+
+        return sample_uniform
+
+    user_ptr_d = jnp.asarray(user_ptr)
+    flat_items_d = jnp.asarray(flat_items)
+    max_deg = int(np.max(user_ptr[1:] - user_ptr[:-1]))
+    n_iters = max(1, int(np.ceil(np.log2(max(max_deg, 2)))) + 1)
+
+    @jax.jit
+    def sample(key: jax.Array, users: jax.Array) -> jax.Array:
+        def round_body(_, carry):
+            key, cand, colliding = carry
+            key, sub = jax.random.split(key)
+            fresh = jax.random.randint(
+                sub, users.shape, 0, num_items, dtype=jnp.int32
+            )
+            cand = jnp.where(colliding, fresh, cand)
+            colliding = colliding & _is_positive(
+                flat_items_d, user_ptr_d, users, cand, n_iters
+            )
+            return key, cand, colliding
+
+        init = (
+            key,
+            jnp.zeros(users.shape, dtype=jnp.int32),
+            jnp.ones(users.shape, dtype=bool),
+        )
+        _, cand, _ = jax.lax.fori_loop(0, n_rounds, round_body, init)
+        return cand
+
+    return sample
+
+
+@functools.partial(jax.jit, static_argnames=("n", "batch_size"))
+def epoch_batches(key: jax.Array, n: int, batch_size: int) -> jax.Array:
+    """[steps, batch] index matrix covering a shuffled epoch.
+
+    The last batch wraps to the permutation head so shapes stay static.
+    """
+    steps = max(1, -(-n // batch_size))
+    perm = jax.random.permutation(key, n)
+    pad = steps * batch_size - n
+    idx = jnp.concatenate([perm, perm[:pad]]) if pad else perm
+    return idx.reshape(steps, batch_size)

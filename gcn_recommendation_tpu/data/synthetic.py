@@ -1,0 +1,112 @@
+"""Synthetic dataset generation.
+
+Produces the exact artifact layout the five reference prepare_data.py
+recipes write (e.g. dataset/amazon_books_emb/prepare_data.py:134-150):
+``train.parquet`` / ``test.parquet`` / ``item_brand.parquet`` /
+``stats.json`` [+ ``item_embeddings.npy``], so the rest of the framework
+is exercised end-to-end without the raw Amazon/Steam review dumps (which
+are not redistributable and absent from the reference snapshot).
+
+The generator mimics the statistical shape of K-core-filtered review
+data: Zipf-ish item popularity, lognormal user activity with a floor of
+``core`` interactions per user, one or two brands per item.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def generate_interactions(
+    rng: np.random.Generator,
+    num_users: int,
+    num_items: int,
+    mean_degree: float,
+    core: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Sample (user, item) pairs with power-law popularity, deduplicated."""
+    # per-user degree: lognormal around mean_degree, floored at core
+    deg = np.maximum(
+        core, rng.lognormal(np.log(mean_degree), 0.6, num_users)
+    ).astype(np.int64)
+    deg = np.minimum(deg, num_items)
+    total = int(deg.sum())
+    users = np.repeat(np.arange(num_users, dtype=np.int64), deg)
+    # Zipf-ish popularity over items via a shuffled ranking
+    ranks = rng.permutation(num_items).astype(np.float64)
+    probs = 1.0 / (ranks + 10.0)
+    probs /= probs.sum()
+    items = rng.choice(num_items, size=total, p=probs)
+    # dedup per (user, item)
+    key = users * num_items + items
+    _, keep = np.unique(key, return_index=True)
+    keep.sort()
+    return users[keep].astype(np.int32), items[keep].astype(np.int32)
+
+
+def generate_synthetic_dataset(
+    out_dir: str,
+    num_users: int = 2000,
+    num_items: int = 1000,
+    num_brands: int = 50,
+    mean_degree: float = 20.0,
+    core: int = 5,
+    seed: int = 42,
+    embedding_dim: Optional[int] = None,
+) -> str:
+    """Write a synthetic processed dataset; returns the output dir."""
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    users, items = generate_interactions(rng, num_users, num_items, mean_degree, core)
+
+    # keep only users with >= 3 interactions so every user survives the
+    # leave-one-out test split plus the loader's val split
+    counts = np.bincount(users, minlength=num_users)
+    ok = counts[users] >= 3
+    users, items = users[ok], items[ok]
+
+    # leave-one-out: one random interaction per user -> test
+    order = rng.permutation(len(users))
+    u_shuf, i_shuf = users[order], items[order]
+    _, first_pos = np.unique(u_shuf, return_index=True)
+    is_test = np.zeros(len(u_shuf), dtype=bool)
+    is_test[first_pos] = True
+
+    train_u, train_i = u_shuf[~is_test], i_shuf[~is_test]
+    test_u, test_i = u_shuf[is_test], i_shuf[is_test]
+
+    # one or two brands per item
+    brand1 = rng.integers(0, num_brands, num_items)
+    has2 = rng.random(num_items) < 0.3
+    brand2 = rng.integers(0, num_brands, num_items)
+    ib_item = np.concatenate([np.arange(num_items), np.arange(num_items)[has2]])
+    ib_brand = np.concatenate([brand1, brand2[has2]])
+
+    os.makedirs(out_dir, exist_ok=True)
+    pd.DataFrame({"user_idx": train_u, "item_idx": train_i}).to_parquet(
+        os.path.join(out_dir, "train.parquet"), index=False
+    )
+    pd.DataFrame({"user_idx": test_u, "item_idx": test_i}).to_parquet(
+        os.path.join(out_dir, "test.parquet"), index=False
+    )
+    pd.DataFrame(
+        {"item_idx": ib_item.astype(np.int32), "brand_idx": ib_brand.astype(np.int32)}
+    ).to_parquet(os.path.join(out_dir, "item_brand.parquet"), index=False)
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump(
+            {
+                "num_users": int(num_users),
+                "num_items": int(num_items),
+                "num_brands": int(num_brands),
+            },
+            f,
+        )
+    if embedding_dim:
+        emb = rng.standard_normal((num_items, embedding_dim)).astype(np.float32)
+        np.save(os.path.join(out_dir, "item_embeddings.npy"), emb)
+    return out_dir

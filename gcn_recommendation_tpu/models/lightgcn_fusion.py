@@ -1,0 +1,97 @@
+"""LightGCN_Fusion — content-embedding fusion variant.
+
+Behavioral parity with reference models/lightgcn_fusion.py:
+
+* requires pretrained content embeddings — raises otherwise (:14-15);
+* learnable ID embeddings for users/items/brands; the *frozen* content
+  matrix is fused with the item ID embedding before propagation via
+  ``LeakyReLU(Linear(concat(id_emb, content_emb)))`` (:45-49);
+* same propagate / layer-mean / split as LightGCN (:52-62);
+* returns the *ID* item embedding as layer-0 for the L2 regularizer (:65).
+
+TPU-first notes: the content matrix is a non-trainable closure constant
+(the reference keeps it as a registered buffer, :25) so the trainable
+param pytree stays minimal for the optimizer and for sharding; the fusion
+projection is a single dense matmul that XLA fuses with the activation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcn_recommendation_tpu.models.lightgcn import LightGCN, xavier_uniform
+
+
+class LightGCN_Fusion(LightGCN):
+    name = "LightGCN_Fusion"
+
+    def __init__(
+        self,
+        num_users: int,
+        num_items: int,
+        num_brands: int,
+        config,
+        pretrained_item_emb: Optional[np.ndarray] = None,
+    ):
+        if pretrained_item_emb is None:
+            # mirrors lightgcn_fusion.py:14-15
+            raise ValueError("LightGCN_Fusion model requires pretrained item embeddings.")
+        # Do NOT let the base class treat the content matrix as an item-table
+        # init — Fusion keeps a random ID table (lightgcn_fusion.py:21).
+        super().__init__(num_users, num_items, num_brands, config, None)
+        self.content_dim = int(pretrained_item_emb.shape[1])
+        self.item_content_emb = jnp.asarray(pretrained_item_emb, dtype=jnp.float32)
+
+    def init(self, key: jax.Array) -> dict:
+        ku, ki, kb, kw = jax.random.split(key, 4)
+        d = self.embedding_dim
+        fan_in = d + self.content_dim
+        # torch Linear keeps weight as [out, in]; xavier bound is symmetric
+        # in (fan_in, fan_out) so the transpose convention is equivalent.
+        return {
+            "user_embedding": xavier_uniform(ku, (self.num_users, d), self.param_dtype),
+            "item_embedding": xavier_uniform(ki, (self.num_items, d), self.param_dtype),
+            "brand_embedding": xavier_uniform(kb, (self.num_brands, d), self.param_dtype),
+            "fusion_kernel": xavier_uniform(kw, (fan_in, d), self.param_dtype),
+            # torch.nn.Linear default bias init is U(-1/sqrt(fan_in), +);
+            # the reference leaves the bias at that default (:29,35).
+            "fusion_bias": jax.random.uniform(
+                jax.random.fold_in(kw, 1),
+                (d,),
+                self.param_dtype,
+                minval=-1.0 / np.sqrt(fan_in),
+                maxval=1.0 / np.sqrt(fan_in),
+            ),
+        }
+
+    def _initial_block(self, params):
+        # Fuse ID + frozen content embeddings before propagation
+        # (lightgcn_fusion.py:45-49).
+        combined = jnp.concatenate(
+            [
+                params["item_embedding"],
+                jax.lax.stop_gradient(self.item_content_emb).astype(
+                    params["item_embedding"].dtype
+                ),
+            ],
+            axis=1,
+        )
+        fused = (
+            jnp.dot(
+                combined,
+                params["fusion_kernel"],
+                preferred_element_type=jnp.float32,
+                # full f32 on the MXU: this matmul sets the item features for
+                # the whole propagation, and it is tiny — precision over speed
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(params["item_embedding"].dtype)
+            + params["fusion_bias"]
+        )
+        fused = jax.nn.leaky_relu(fused)  # default slope 0.01, as F.leaky_relu
+        return jnp.concatenate(
+            [params["user_embedding"], fused, params["brand_embedding"]], axis=0
+        )

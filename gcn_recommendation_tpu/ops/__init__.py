@@ -1,0 +1,18 @@
+from gcn_recommendation_tpu.ops.spmm import (
+    DeviceGraph,
+    propagate,
+    propagate_coo,
+    propagate_ell,
+    to_device_graph,
+)
+from gcn_recommendation_tpu.ops.topk import masked_topk_scores, topk_eval_batch
+
+__all__ = [
+    "DeviceGraph",
+    "propagate",
+    "propagate_coo",
+    "propagate_ell",
+    "to_device_graph",
+    "masked_topk_scores",
+    "topk_eval_batch",
+]

@@ -1,0 +1,119 @@
+"""Sparse propagation (SpMM) — the hottest kernel.
+
+The reference's hottest op is ``torch.sparse.mm(adj, emb)`` run K times per
+training batch (models/lightgcn.py:44-46, called from main.py:495).  TPUs
+have no native sparse matmul and XLA scatter-adds serialize badly, so the
+TPU-native formulation avoids scatters entirely:
+
+* **ELL path (default)**: the graph is stored as degree-bucketed padded
+  neighbor lists (graph/build.py).  Propagation per bucket is
+  ``gather -> multiply -> reduce`` over the padded neighbor axis, then one
+  inverse-permutation gather restores node order.  Pure gathers + VPU
+  reductions; XLA fuses the multiply/reduce into the gather consumer.
+* **COO path (reference/fallback)**: dst-sorted edge list with
+  ``jax.ops.segment_sum`` — used for cross-checking and tiny graphs.
+
+Both compute exactly ``A_norm @ emb`` for the symmetric normalized
+adjacency.  Gradients flow through gathers (transpose = scatter-add handled
+by XLA only in the backward pass, where it is unavoidable — the forward hot
+path stays scatter-free; the ELL backward transposes to a gather over the
+same structure because A is symmetric, see ``_propagate_ell_sym``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcn_recommendation_tpu.graph.build import Graph
+
+
+class DeviceGraph(NamedTuple):
+    """Device-resident adjacency (a pytree of jnp arrays).
+
+    Static sizes (num_users/items/brands) live on the model, not here, so
+    this tuple can flow through jit without retracing on metadata.
+    """
+
+    src: jax.Array            # [nnz_pad] int32, dst-sorted COO
+    dst: jax.Array            # [nnz_pad] int32
+    weight: jax.Array         # [nnz_pad] f32
+    bucket_nbr_idx: Tuple[jax.Array, ...]  # per bucket [nb, width] int32
+    bucket_nbr_w: Tuple[jax.Array, ...]    # per bucket [nb, width] f32
+    gather_idx: jax.Array     # [num_nodes] int32 into concat(buckets)+zeros row
+
+
+def to_device_graph(g: Graph, compute_dtype=jnp.float32) -> DeviceGraph:
+    return DeviceGraph(
+        src=jnp.asarray(g.src),
+        dst=jnp.asarray(g.dst),
+        weight=jnp.asarray(g.weight, dtype=compute_dtype),
+        bucket_nbr_idx=tuple(jnp.asarray(b.nbr_idx) for b in g.buckets),
+        bucket_nbr_w=tuple(
+            jnp.asarray(b.nbr_w, dtype=compute_dtype) for b in g.buckets
+        ),
+        gather_idx=jnp.asarray(g.gather_idx),
+    )
+
+
+def propagate_coo(
+    emb: jax.Array, src: jax.Array, dst: jax.Array, weight: jax.Array, num_nodes: int
+) -> jax.Array:
+    """``out[v] = sum_{e: dst[e]=v} w[e] * emb[src[e]]`` via segment_sum.
+
+    Reference implementation (matches torch.sparse.mm at
+    models/lightgcn.py:45); kept for parity tests and CPU fallback.
+    """
+    msgs = emb[src] * weight[:, None]
+    return jax.ops.segment_sum(
+        msgs, dst, num_segments=num_nodes, indices_are_sorted=True
+    )
+
+
+def _ell_matvec(emb, bucket_nbr_idx, bucket_nbr_w, gather_idx):
+    parts = []
+    for idx, w in zip(bucket_nbr_idx, bucket_nbr_w):
+        gathered = jnp.take(emb, idx, axis=0)          # [nb, width, d]
+        parts.append(jnp.sum(gathered * w[..., None], axis=1))
+    parts.append(jnp.zeros((1, emb.shape[1]), emb.dtype))  # degree-0 row
+    return jnp.concatenate(parts, axis=0)[gather_idx]
+
+
+@jax.custom_vjp
+def propagate_ell(emb, bucket_nbr_idx, bucket_nbr_w, gather_idx):
+    """Scatter-free SpMM over the degree-bucketed ELL adjacency."""
+    return _ell_matvec(emb, bucket_nbr_idx, bucket_nbr_w, gather_idx)
+
+
+def _propagate_ell_fwd(emb, bucket_nbr_idx, bucket_nbr_w, gather_idx):
+    out = _ell_matvec(emb, bucket_nbr_idx, bucket_nbr_w, gather_idx)
+    return out, (bucket_nbr_idx, bucket_nbr_w, gather_idx)
+
+
+def _propagate_ell_bwd(res, g):
+    # A_norm is symmetric, so d(emb) = A_norm^T @ g = A_norm @ g — the
+    # backward pass is the *same* scatter-free gather kernel applied to the
+    # cotangent.  This is the key trick that keeps training scatter-free.
+    bucket_nbr_idx, bucket_nbr_w, gather_idx = res
+    d_emb = _ell_matvec(g, bucket_nbr_idx, bucket_nbr_w, gather_idx)
+    return d_emb, None, None, None
+
+
+propagate_ell.defvjp(_propagate_ell_fwd, _propagate_ell_bwd)
+
+
+def propagate(emb: jax.Array, graph: DeviceGraph, num_nodes: int, *, path: str = "ell"):
+    """One propagation step ``A_norm @ emb``.
+
+    ``path``: 'ell' (TPU-native, default) or 'coo' (segment_sum fallback).
+    """
+    if path == "ell":
+        return propagate_ell(
+            emb, graph.bucket_nbr_idx, graph.bucket_nbr_w, graph.gather_idx
+        )
+    elif path == "coo":
+        return propagate_coo(emb, graph.src, graph.dst, graph.weight, num_nodes)
+    raise ValueError(f"unknown propagation path {path!r}")

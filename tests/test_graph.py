@@ -1,0 +1,106 @@
+"""Graph construction & normalization vs. scipy ground truth.
+
+The reference normalizes with scipy (main.py:321-331); these tests verify
+our from-scratch construction (dedup-sum, D^-1/2 A D^-1/2, ELL bucketing)
+reproduces the scipy result exactly on random heterogeneous graphs.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from gcn_recommendation_tpu.graph.build import (
+    build_normalized_adjacency,
+    normalize_sym,
+)
+
+
+def _scipy_norm_adj(u, i, bi, bb, nu, ni, nb, use_brand):
+    """Reference formulation: scipy coo + D^-1/2 A D^-1/2 (main.py:300-331)."""
+    item = i + nu
+    n = nu + ni + nb
+    if use_brand:
+        rows = np.concatenate([u, item, bi + nu, bb + nu + ni])
+        cols = np.concatenate([item, u, bb + nu + ni, bi + nu])
+    else:
+        rows = np.concatenate([u, item])
+        cols = np.concatenate([item, u])
+    adj = sp.coo_matrix((np.ones(len(rows), np.float32), (rows, cols)), shape=(n, n))
+    rowsum = np.array(adj.sum(axis=1)).flatten()
+    with np.errstate(divide="ignore"):
+        dis = np.power(rowsum, -0.5)
+    dis[np.isinf(dis)] = 0.0
+    return sp.diags(dis).dot(adj).dot(sp.diags(dis)).tocsr()
+
+
+def _random_graph(rng, nu=50, ni=40, nb=8, n_edges=400, n_ib=60):
+    u = rng.integers(0, nu, n_edges)
+    i = rng.integers(0, ni, n_edges)
+    bi = rng.integers(0, ni, n_ib)
+    bb = rng.integers(0, nb, n_ib)
+    return u, i, bi, bb, nu, ni, nb
+
+
+@pytest.mark.parametrize("use_brand", [True, False])
+def test_normalized_weights_match_scipy(use_brand):
+    rng = np.random.default_rng(1)
+    u, i, bi, bb, nu, ni, nb = _random_graph(rng)
+    g = build_normalized_adjacency(
+        u, i, nu, ni, nb,
+        item_brand_item_idx=bi, item_brand_brand_idx=bb,
+        use_brand=use_brand, pad_multiple=64,
+    )
+    ref = _scipy_norm_adj(u, i, bi, bb, nu, ni, nb, use_brand)
+    # rebuild dense from our COO view
+    n = g.num_nodes
+    ours = np.zeros((n, n), np.float64)
+    ours[g.dst, g.src] += g.weight  # padding has weight 0
+    np.testing.assert_allclose(ours, ref.toarray(), rtol=1e-6, atol=1e-7)
+
+
+def test_duplicate_edges_summed_like_coo_matrix():
+    # duplicated (u, i) interaction -> adjacency entry 2 before normalization,
+    # exactly like scipy coo_matrix dedup-sum (main.py:321)
+    u = np.array([0, 0, 1])
+    i = np.array([0, 0, 1])
+    g = build_normalized_adjacency(u, i, 2, 2, 1, use_brand=False, pad_multiple=8)
+    ref = _scipy_norm_adj(u, i, np.array([], int), np.array([], int), 2, 2, 1, False)
+    n = g.num_nodes
+    ours = np.zeros((n, n))
+    ours[g.dst, g.src] += g.weight
+    np.testing.assert_allclose(ours, ref.toarray(), rtol=1e-6)
+
+
+def test_isolated_brand_nodes_zero_degree():
+    # use_brand=False keeps brand nodes allocated but isolated (main.py:287)
+    rng = np.random.default_rng(2)
+    u, i, bi, bb, nu, ni, nb = _random_graph(rng)
+    g = build_normalized_adjacency(u, i, nu, ni, nb, use_brand=False)
+    assert g.num_nodes == nu + ni + nb
+    brand_rows = np.arange(nu + ni, nu + ni + nb)
+    # no edges touch brand rows
+    assert not np.isin(g.dst[: g.nnz], brand_rows).any()
+    assert not np.isin(g.src[: g.nnz], brand_rows).any()
+
+
+def test_ell_buckets_cover_all_edges():
+    rng = np.random.default_rng(3)
+    u, i, bi, bb, nu, ni, nb = _random_graph(rng)
+    g = build_normalized_adjacency(
+        u, i, nu, ni, nb, item_brand_item_idx=bi, item_brand_brand_idx=bb
+    )
+    total_entries = sum(int((b.nbr_w != 0).sum()) for b in g.buckets)
+    assert total_entries == (g.weight != 0).sum()
+    # gather_idx is a valid permutation into concat(buckets)+zero row
+    n_rows = sum(b.node_ids.shape[0] for b in g.buckets)
+    assert g.gather_idx.max() <= n_rows
+    assert g.gather_idx.min() >= 0
+
+
+def test_normalize_sym_isolated_inf_guard():
+    rows = np.array([0, 1])
+    cols = np.array([1, 0])
+    vals = np.ones(2, np.float32)
+    w = normalize_sym(rows, cols, vals, num_nodes=4)  # nodes 2,3 isolated
+    assert np.isfinite(w).all()
+    np.testing.assert_allclose(w, [1.0, 1.0])

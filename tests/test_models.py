@@ -1,0 +1,119 @@
+"""Model forward parity vs. a dense-matmul reference of lightgcn.py:35-59."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gcn_recommendation_tpu.config import Config
+from gcn_recommendation_tpu.graph.build import build_normalized_adjacency
+from gcn_recommendation_tpu.models import get_model
+from gcn_recommendation_tpu.ops.spmm import to_device_graph
+
+
+@pytest.fixture(scope="module")
+def small_setup():
+    rng = np.random.default_rng(11)
+    nu, ni, nb = 40, 30, 6
+    u = rng.integers(0, nu, 300)
+    i = rng.integers(0, ni, 300)
+    bi = rng.integers(0, ni, 40)
+    bb = rng.integers(0, nb, 40)
+    g = build_normalized_adjacency(
+        u, i, nu, ni, nb, item_brand_item_idx=bi, item_brand_brand_idx=bb
+    )
+    n = g.num_nodes
+    dense = np.zeros((n, n), np.float32)
+    dense[g.dst, g.src] += g.weight
+    cfg = Config(embedding_dim=16, n_layers=3, debug=False)
+    return g, dense, cfg, (nu, ni, nb)
+
+
+def _dense_lightgcn_forward(dense, ego, n_layers):
+    """mean over [e0, A e0, A^2 e0, ...] (lightgcn.py:41-54)"""
+    outs = [ego]
+    e = ego
+    for _ in range(n_layers):
+        e = dense @ e
+        outs.append(e)
+    return np.mean(np.stack(outs), axis=0)
+
+
+def test_lightgcn_forward_matches_dense(small_setup):
+    g, dense, cfg, (nu, ni, nb) = small_setup
+    model = get_model("LightGCN")(nu, ni, nb, cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    dg = to_device_graph(g)
+    fu, fi, fb, u0, i0 = model.apply(params, dg)
+
+    ego = np.concatenate(
+        [np.asarray(params[k]) for k in ("user_embedding", "item_embedding", "brand_embedding")]
+    )
+    final = _dense_lightgcn_forward(dense, ego, cfg.n_layers)
+    np.testing.assert_allclose(np.asarray(fu), final[:nu], rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(fi), final[nu : nu + ni], rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(fb), final[nu + ni :], rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(u0), np.asarray(params["user_embedding"]))
+    np.testing.assert_allclose(np.asarray(i0), np.asarray(params["item_embedding"]))
+
+
+def test_lightgcn_pretrained_item_init(small_setup):
+    g, dense, cfg, (nu, ni, nb) = small_setup
+    pre = np.random.default_rng(5).standard_normal((ni, cfg.embedding_dim)).astype(
+        np.float32
+    )
+    model = get_model("LightGCN")(nu, ni, nb, cfg, pretrained_item_emb=pre)
+    params = model.init(jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(params["item_embedding"]), pre)
+
+
+def test_lightgcn_pretrained_dim_mismatch_raises(small_setup):
+    g, dense, cfg, (nu, ni, nb) = small_setup
+    pre = np.zeros((ni, cfg.embedding_dim + 1), np.float32)
+    with pytest.raises(ValueError, match="does not match"):
+        get_model("LightGCN")(nu, ni, nb, cfg, pretrained_item_emb=pre)
+
+
+def test_fusion_requires_pretrained(small_setup):
+    g, dense, cfg, (nu, ni, nb) = small_setup
+    with pytest.raises(ValueError, match="requires pretrained"):
+        get_model("LightGCN_Fusion")(nu, ni, nb, cfg)
+
+
+def test_fusion_forward_matches_dense(small_setup):
+    g, dense, cfg, (nu, ni, nb) = small_setup
+    cdim = 24
+    content = np.random.default_rng(6).standard_normal((ni, cdim)).astype(np.float32)
+    model = get_model("LightGCN_Fusion")(nu, ni, nb, cfg, pretrained_item_emb=content)
+    params = model.init(jax.random.PRNGKey(1))
+    dg = to_device_graph(g)
+    fu, fi, fb, u0, i0 = model.apply(params, dg)
+
+    # dense reference of the fusion pre-step (lightgcn_fusion.py:45-52)
+    combined = np.concatenate([np.asarray(params["item_embedding"]), content], axis=1)
+    fused = combined @ np.asarray(params["fusion_kernel"]) + np.asarray(
+        params["fusion_bias"]
+    )
+    fused = np.where(fused > 0, fused, 0.01 * fused)  # leaky_relu slope 0.01
+    ego = np.concatenate(
+        [np.asarray(params["user_embedding"]), fused, np.asarray(params["brand_embedding"])]
+    )
+    final = _dense_lightgcn_forward(dense, ego, cfg.n_layers)
+    np.testing.assert_allclose(np.asarray(fu), final[:nu], rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(fi), final[nu : nu + ni], rtol=3e-5, atol=3e-6)
+    # layer-0 item embedding for the regularizer is the ID table (:65)
+    np.testing.assert_allclose(np.asarray(i0), np.asarray(params["item_embedding"]))
+
+
+def test_registry_unknown_model_raises():
+    with pytest.raises(ImportError):
+        get_model("NoSuchModel")
+
+
+def test_xavier_init_statistics():
+    from gcn_recommendation_tpu.models.lightgcn import xavier_uniform
+
+    w = xavier_uniform(jax.random.PRNGKey(0), (4000, 64))
+    bound = np.sqrt(6.0 / (4000 + 64))
+    assert float(jnp.max(jnp.abs(w))) <= bound + 1e-6
+    assert float(jnp.std(w)) == pytest.approx(bound / np.sqrt(3), rel=0.05)

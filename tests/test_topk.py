@@ -1,0 +1,87 @@
+"""Top-k evaluation op vs. a numpy re-implementation of main.py:404-439."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gcn_recommendation_tpu.ops.topk import MASK_VALUE, masked_topk_scores, topk_eval_batch
+
+
+def _numpy_reference_eval(user_emb, item_emb, users, true_items, filter_lists, k):
+    """Reference protocol: dense scores, mask seen, topk, hit/NDCG
+    (main.py:415-438)."""
+    recalls, ndcgs = [], []
+    scores_all = user_emb[users] @ item_emb.T
+    for j, u in enumerate(users):
+        s = scores_all[j].copy()
+        s[filter_lists[j]] = -1e10
+        top = np.argsort(-s, kind="stable")[:k]
+        hit = true_items[j] in top
+        recalls.append(1.0 if hit else 0.0)
+        if hit:
+            pos = int(np.where(top == true_items[j])[0][0])
+            ndcgs.append(1.0 / np.log2(pos + 2))
+        else:
+            ndcgs.append(0.0)
+    return float(np.mean(recalls)), float(np.mean(ndcgs))
+
+
+def test_masked_topk_masks_seen_items():
+    rng = np.random.default_rng(0)
+    B, I, d, k = 4, 50, 8, 5
+    u = rng.standard_normal((B, d)).astype(np.float32)
+    it = rng.standard_normal((I, d)).astype(np.float32)
+    filt = np.full((B, 6), I, np.int32)  # padded with I = out-of-bounds
+    filt[0, :3] = [1, 2, 3]
+    vals, idx = masked_topk_scores(jnp.asarray(u), jnp.asarray(it), jnp.asarray(filt), k)
+    assert not np.isin(np.asarray(idx[0]), [1, 2, 3]).any()
+    assert np.asarray(vals).max() < -MASK_VALUE
+
+
+def test_topk_eval_matches_numpy_reference():
+    rng = np.random.default_rng(1)
+    U, I, d, k = 60, 120, 16, 10
+    user_emb = rng.standard_normal((U, d)).astype(np.float32)
+    item_emb = rng.standard_normal((I, d)).astype(np.float32)
+    users = np.arange(U, dtype=np.int32)
+    true_items = rng.integers(0, I, U).astype(np.int32)
+    # random filter lists of varying length
+    filter_lists = [
+        rng.choice(I, size=rng.integers(0, 8), replace=False) for _ in range(U)
+    ]
+    # ensure the true item isn't filtered
+    filter_lists = [fl[fl != t] for fl, t in zip(filter_lists, true_items)]
+    fmax = max(len(f) for f in filter_lists)
+    filt = np.full((U, max(fmax, 1)), I, np.int32)
+    for j, fl in enumerate(filter_lists):
+        filt[j, : len(fl)] = fl
+
+    rsum, nsum, cnt = topk_eval_batch(
+        jnp.asarray(user_emb),
+        jnp.asarray(item_emb),
+        jnp.asarray(users),
+        jnp.asarray(true_items),
+        jnp.asarray(filt),
+        jnp.ones(U, bool),
+        k,
+    )
+    ref_r, ref_n = _numpy_reference_eval(
+        user_emb, item_emb, users, true_items, filter_lists, k
+    )
+    np.testing.assert_allclose(float(rsum) / float(cnt), ref_r, rtol=1e-6)
+    np.testing.assert_allclose(float(nsum) / float(cnt), ref_n, rtol=1e-5)
+
+
+def test_topk_eval_padding_rows_ignored():
+    rng = np.random.default_rng(2)
+    U, I, d, k = 8, 30, 4, 3
+    user_emb = rng.standard_normal((U, d)).astype(np.float32)
+    item_emb = rng.standard_normal((I, d)).astype(np.float32)
+    users = np.zeros(6, np.int32)
+    true = np.zeros(6, np.int32)
+    filt = np.full((6, 1), I, np.int32)
+    valid = np.array([True, True, False, False, False, False])
+    rsum, nsum, cnt = topk_eval_batch(
+        jnp.asarray(user_emb), jnp.asarray(item_emb), jnp.asarray(users),
+        jnp.asarray(true), jnp.asarray(filt), jnp.asarray(valid), k,
+    )
+    assert float(cnt) == 2.0
