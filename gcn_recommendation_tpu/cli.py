@@ -1,0 +1,217 @@
+"""Command-line entry point.
+
+Mirrors the reference CLI (main.py:590-621):
+``train`` / ``test`` modes, ``--model_name --core --epochs --model_path
+--no_brand --brand_loss --debug --use_pretrained_emb``, seed 42, and the
+checkpoint-name encoding of main.py:613-615 — plus fixes the reference's
+hard-coded dataset dir (main.py:58) with ``--dataset`` / ``--data_root``
+/ ``--processed_dir`` selectors and adds ``prepare`` (offline ETL,
+reproducing all five dataset recipes) and ``--resume``.
+
+Run as ``python -m gcn_recommendation_tpu.cli <mode> ...`` or via the
+package main (``python -m gcn_recommendation_tpu ...``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Run GNN-based recommendation models (TPU-native).")
+    sub = p.add_subparsers(dest="mode", required=True)
+
+    def add_common(sp):
+        sp.add_argument("--model_name", type=str, default="LightGCN",
+                        help="The name of the model class.")
+        sp.add_argument("--core", type=int, default=16,
+                        help="K-core filtering threshold for data.")
+        sp.add_argument("--dataset", type=str, default="steam_emb",
+                        help="Dataset recipe name (see config.DATASET_DIR_TEMPLATES).")
+        sp.add_argument("--data_root", type=str, default=".",
+                        help="Prefix for dataset directories.")
+        sp.add_argument("--processed_dir", type=str, default=None,
+                        help="Explicit processed-data dir (overrides --dataset).")
+        sp.add_argument("--no_brand", action="store_true",
+                        help="Run ablation study without brand info.")
+        sp.add_argument("--debug", action="store_true",
+                        help="Enable debug mode for a quick run.")
+        sp.add_argument("--use_pretrained_emb", action="store_true",
+                        help="Initialize item embeddings with pretrained text embeddings.")
+        sp.add_argument("--seed", type=int, default=42)
+
+    tr = sub.add_parser("train", help="Train a model.")
+    add_common(tr)
+    tr.add_argument("--epochs", type=int, default=150, help="Number of training epochs.")
+    tr.add_argument("--brand_loss", action="store_true",
+                    help="Enable author/brand preference loss.")
+    tr.add_argument("--resume", action="store_true",
+                    help="Resume from the rolling 'last' checkpoint.")
+    tr.add_argument("--batch_size", type=int, default=None)
+    tr.add_argument("--learning_rate", type=float, default=None)
+
+    te = sub.add_parser("test", help="Evaluate a trained checkpoint on the test split.")
+    add_common(te)
+    te.add_argument("--model_path", type=str, default=None,
+                    help="Path to checkpoint dir for testing.")
+
+    pr = sub.add_parser("prepare", help="Offline data preparation (ETL).")
+    pr.add_argument("--recipe", type=str, required=True,
+                    help="One of: amazon_books, amazon_books_emb, "
+                         "amazon_books_senti, amazon_sport_emb, steam_emb, synthetic")
+    pr.add_argument("--core", type=int, default=None, help="K-core threshold.")
+    pr.add_argument("--review_path", type=str, default=None)
+    pr.add_argument("--meta_path", type=str, default=None)
+    pr.add_argument("--output_dir", type=str, default=None)
+    # synthetic-recipe knobs
+    pr.add_argument("--num_users", type=int, default=10000)
+    pr.add_argument("--num_items", type=int, default=5000)
+    pr.add_argument("--num_brands", type=int, default=200)
+    pr.add_argument("--mean_degree", type=float, default=25.0)
+    pr.add_argument("--embedding_dim", type=int, default=None)
+    pr.add_argument("--seed", type=int, default=42)
+    return p
+
+
+def _make_config(args):
+    from gcn_recommendation_tpu.config import Config
+
+    kwargs = dict(
+        model_name=args.model_name,
+        dataset=args.dataset,
+        core=args.core,
+        data_root=args.data_root,
+        processed_data_dir=args.processed_dir,
+        use_brand=not args.no_brand,
+        debug=args.debug,
+        use_pretrained_emb=args.use_pretrained_emb,
+        seed=args.seed,
+    )
+    if args.mode == "train":
+        kwargs["epochs"] = args.epochs
+        kwargs["brand_loss"] = args.brand_loss
+        if args.batch_size is not None:
+            kwargs["batch_size"] = args.batch_size
+        if args.learning_rate is not None:
+            kwargs["learning_rate"] = args.learning_rate
+    return Config(**kwargs)
+
+
+def _load_everything(config):
+    from gcn_recommendation_tpu.data.loader import load_preprocessed_data
+    from gcn_recommendation_tpu.models import get_model
+
+    pretrained = None
+    if config.use_pretrained_emb or config.model_name == "LightGCN_Fusion":
+        if os.path.exists(config.pretrained_emb_path):
+            print(f"Loading pretrained item embeddings from {config.pretrained_emb_path}")
+            pretrained = np.load(config.pretrained_emb_path)
+        elif config.use_pretrained_emb:
+            print(
+                f"WARNING: --use_pretrained_emb was set, but file not found at "
+                f"{config.pretrained_emb_path}. Using random initialization."
+            )
+
+    bundle = load_preprocessed_data(
+        config.data_dir, use_brand=config.use_brand, debug=config.debug
+    )
+    model_cls = get_model(config.model_name)
+    model = model_cls(
+        bundle.num_users,
+        bundle.num_items,
+        bundle.num_brands,
+        config,
+        pretrained_item_emb=pretrained,
+    )
+    return bundle, model
+
+
+def run_train(args) -> int:
+    from gcn_recommendation_tpu.train.trainer import Trainer
+    from gcn_recommendation_tpu.utils.logging import Logger
+
+    config = _make_config(args)
+    bundle, model = _load_everything(config)
+    logger = Logger(config.results_dir, config.logger_name(), top_k=config.top_k)
+    trainer = Trainer(config, model, bundle, logger=logger)
+    print("\nStep 2: Starting model training...")
+    if config.use_brand:
+        print(
+            f"Author Loss Config: brand_loss={config.brand_loss}, "
+            f"weight={config.brand_loss_weight}"
+        )
+    trainer.fit(resume=args.resume)
+    print("Training finished.")
+    return 0
+
+
+def run_test(args) -> int:
+    from gcn_recommendation_tpu.data.loader import Interactions
+    from gcn_recommendation_tpu.ops.spmm import to_device_graph
+    from gcn_recommendation_tpu.train.evaluate import evaluate
+    from gcn_recommendation_tpu.utils import checkpoint as ckpt
+    import jax
+
+    config = _make_config(args)
+    bundle, model = _load_everything(config)
+    ckpt_dir = args.model_path or os.path.join(
+        config.checkpoint_dir, config.checkpoint_name()
+    )
+    params = model.init(jax.random.PRNGKey(config.seed))
+    import optax
+
+    opt_state = optax.adam(config.learning_rate).init(params)
+    restored = ckpt.load_best(ckpt_dir, params, opt_state)
+    if restored is None:
+        raise FileNotFoundError(f"Model checkpoint not found at '{ckpt_dir}'")
+    params = restored[0]
+    print(f"Model loaded from '{ckpt_dir}'")
+
+    print("Evaluating on the TEST set...")
+    # test-time filter = train + val (main.py:576)
+    filt = Interactions(
+        np.concatenate([bundle.train.user_idx, bundle.val.user_idx]),
+        np.concatenate([bundle.train.item_idx, bundle.val.item_idx]),
+    )
+    recall, ndcg = evaluate(
+        model,
+        params,
+        to_device_graph(bundle.graph),
+        bundle.test,
+        filt,
+        bundle.num_users,
+        bundle.num_items,
+        config.top_k,
+        config.eval_user_batch,
+    )
+    print("\n--- Final Test Results ---")
+    print(f"Recall@{config.top_k}: {recall:.4f}")
+    print(f"NDCG@{config.top_k}:   {ndcg:.4f}")
+    print("--------------------------")
+    return 0
+
+
+def run_prepare(args) -> int:
+    from gcn_recommendation_tpu.data import prepare
+
+    return prepare.run_recipe(args)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    np.random.seed(args.seed if hasattr(args, "seed") else 42)  # main.py:607
+    if args.mode == "train":
+        return run_train(args)
+    if args.mode == "test":
+        return run_test(args)
+    if args.mode == "prepare":
+        return run_prepare(args)
+    raise ValueError(args.mode)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,101 @@
+"""Leave-one-out full-catalog evaluation.
+
+Protocol parity with reference evaluate() (main.py:404-439):
+
+* one held-out item per user (dict(zip(...)) semantics: the *last*
+  occurrence wins if a user appears twice in the eval frame);
+* one GNN propagation per evaluation (main.py:413);
+* per user batch: dense scores, seen-item masking, top-k, hit/NDCG;
+* metric = mean over evaluated users.
+
+TPU-native: batches are padded to a static shape and the whole
+score->mask->topk->metric pipeline runs as one jit (ops/topk.py); only
+the final three scalars come back to the host per batch.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from gcn_recommendation_tpu.data.loader import Interactions
+from gcn_recommendation_tpu.data.sampler import membership_arrays
+from gcn_recommendation_tpu.ops.topk import topk_eval_batch
+
+
+def dedup_eval_users(eval_inter: Interactions) -> Tuple[np.ndarray, np.ndarray]:
+    """(users, true_items) with last occurrence winning, like
+    dict(zip(users, items)) at main.py:406."""
+    users = eval_inter.user_idx
+    items = eval_inter.item_idx
+    # np.unique keeps the first occurrence; reverse to keep the last
+    _, last_pos_rev = np.unique(users[::-1], return_index=True)
+    pos = len(users) - 1 - last_pos_rev
+    pos.sort()
+    return users[pos], items[pos]
+
+
+def evaluate(
+    model,
+    params,
+    device_graph,
+    eval_inter: Interactions,
+    filter_inter: Interactions,
+    num_users: int,
+    num_items: int,
+    k: int,
+    batch_size: int = 1024,
+) -> Tuple[float, float]:
+    """Recall@k / NDCG@k over the eval interactions.
+
+    ``filter_inter`` is the seen-set to mask: train for validation,
+    train+val for test (main.py:576).
+    """
+    users, true_items = dedup_eval_users(eval_inter)
+    if len(users) == 0:
+        return 0.0, 0.0
+
+    fu, fi, _, _, _ = model.apply(params, device_graph)  # one propagation
+
+    # CSR view of the filter set for padded batch construction
+    f_ptr, f_items = membership_arrays(
+        filter_inter.user_idx, filter_inter.item_idx, num_users
+    )
+    deg = f_ptr[1:] - f_ptr[:-1]
+    fmax = max(1, int(deg[users].max())) if len(users) else 1
+
+    recall_sum = ndcg_sum = count = 0.0
+    for start in range(0, len(users), batch_size):
+        bu = users[start : start + batch_size]
+        bt = true_items[start : start + batch_size]
+        b = len(bu)
+        pad = batch_size - b
+        # padded seen-item lists; pad index = num_items (dropped as OOB)
+        filt = np.full((batch_size, fmax), num_items, dtype=np.int32)
+        lens = deg[bu]
+        rows = np.repeat(np.arange(b), lens)
+        offs = np.cumsum(lens) - lens
+        cols = np.arange(int(lens.sum())) - np.repeat(offs, lens)
+        flat = np.repeat(f_ptr[bu], lens) + cols
+        filt[rows, cols] = f_items[flat]
+
+        bu_p = np.concatenate([bu, np.zeros(pad, np.int32)])
+        bt_p = np.concatenate([bt, np.zeros(pad, np.int32)])
+        valid = np.concatenate([np.ones(b, bool), np.zeros(pad, bool)])
+
+        r, n, c = topk_eval_batch(
+            fu,
+            fi,
+            jnp.asarray(bu_p),
+            jnp.asarray(bt_p),
+            jnp.asarray(filt),
+            jnp.asarray(valid),
+            k,
+        )
+        recall_sum += float(r)
+        ndcg_sum += float(n)
+        count += float(c)
+
+    return recall_sum / count, ndcg_sum / count

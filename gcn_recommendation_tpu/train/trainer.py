@@ -1,0 +1,203 @@
+"""Training loop — jitted step, scanned epochs, Orbax checkpointing.
+
+Reference counterpart: train() at main.py:443-554.  Behavior preserved:
+
+* full-graph propagation once per batch (semantically required — the
+  gradient only flows through batch rows but propagation mixes all
+  nodes; main.py:495);
+* BPR + L2 (+ optional brand) loss on the batch rows (main.py:515);
+* Adam (torch defaults = optax defaults: b1=0.9 b2=0.999 eps=1e-8);
+* evaluation on the val split every ``val_interval`` epochs, best-recall
+  checkpointing (main.py:536-551);
+* debug mode caps 10 batches/epoch (main.py:484).
+
+TPU-native differences:
+
+* the negative sampler runs on device inside the step (no DataLoader
+  worker processes);
+* a whole epoch executes as one ``lax.scan`` over shuffled batches —
+  one device dispatch per epoch instead of one per batch;
+* checkpoints (params + optimizer state + epoch + best metric + RNG)
+  go through Orbax, and training can *resume* — the reference could
+  only save weights (main.py:547-551, no optimizer state, no resume).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gcn_recommendation_tpu.data.loader import DataBundle
+from gcn_recommendation_tpu.data.sampler import (
+    epoch_batches,
+    make_negative_sampler,
+    membership_arrays,
+)
+from gcn_recommendation_tpu.ops.spmm import to_device_graph
+from gcn_recommendation_tpu.train.evaluate import evaluate
+from gcn_recommendation_tpu.train.loss import bpr_loss_reg
+from gcn_recommendation_tpu.utils import checkpoint as ckpt
+from gcn_recommendation_tpu.utils.logging import Logger
+
+
+class Trainer:
+    def __init__(self, config, model, bundle: DataBundle, logger: Optional[Logger] = None):
+        self.config = config
+        self.model = model
+        self.bundle = bundle
+        self.logger = logger
+        self.graph = to_device_graph(bundle.graph)
+
+        self.train_users = jnp.asarray(bundle.train.user_idx)
+        self.train_items = jnp.asarray(bundle.train.item_idx)
+        user_ptr, flat_items = membership_arrays(
+            bundle.train.user_idx, bundle.train.item_idx, bundle.num_users
+        )
+        self.sample_negatives = make_negative_sampler(
+            user_ptr, flat_items, bundle.num_items
+        )
+        self.item_to_brand = jnp.asarray(bundle.item_to_brand)
+
+        self.tx = optax.adam(config.learning_rate)
+        self.n_train = len(bundle.train)
+        steps = max(1, -(-self.n_train // config.batch_size))
+        self.steps_per_epoch = min(10, steps) if config.debug else steps
+
+        self._epoch_fn = self._build_epoch_fn()
+
+    # --- loss over one batch given full forward outputs ---
+    def _batch_loss(self, params, users, pos, neg):
+        cfg = self.config
+        fu_all, fi_all, fb_all, u0_all, i0_all = self.model.apply(params, self.graph)
+        fu = jnp.take(fu_all, users, axis=0)
+        fp = jnp.take(fi_all, pos, axis=0)
+        fn_ = jnp.take(fi_all, neg, axis=0)
+        iu = jnp.take(u0_all, users, axis=0)
+        ip = jnp.take(i0_all, pos, axis=0)
+        in_ = jnp.take(i0_all, neg, axis=0)
+        if cfg.brand_loss and cfg.use_brand:
+            pb = jnp.take(self.item_to_brand, pos)
+            nb = jnp.take(self.item_to_brand, neg)
+            return bpr_loss_reg(
+                fu, fp, fn_, iu, ip, in_, cfg.weight_decay,
+                brand_loss=True, final_brand_emb=fb_all,
+                pos_item_brand_idx=pb, neg_item_brand_idx=nb,
+                brand_loss_weight=cfg.brand_loss_weight,
+            )
+        return bpr_loss_reg(fu, fp, fn_, iu, ip, in_, cfg.weight_decay)
+
+    def _build_epoch_fn(self):
+        cfg = self.config
+        tx = self.tx
+        n_steps = self.steps_per_epoch
+
+        def step(params, opt_state, key, users, pos):
+            neg = self.sample_negatives(key, users)
+            loss, grads = jax.value_and_grad(
+                lambda p: self._batch_loss(p, users, pos, neg)
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def run_epoch(params, opt_state, key):
+            perm_key, key = jax.random.split(key)
+            batches = epoch_batches(perm_key, self.n_train, cfg.batch_size)
+            batches = batches[:n_steps]
+
+            def body(carry, batch_idx):
+                params, opt_state, key = carry
+                key, k1 = jax.random.split(key)
+                users = jnp.take(self.train_users, batch_idx)
+                pos = jnp.take(self.train_items, batch_idx)
+                params, opt_state, loss = step(params, opt_state, k1, users, pos)
+                return (params, opt_state, key), loss
+
+            (params, opt_state, _), losses = jax.lax.scan(
+                body, (params, opt_state, key), batches
+            )
+            return params, opt_state, losses
+
+        return run_epoch
+
+    # --- public API ---
+    def init_state(self, key):
+        params = self.model.init(key)
+        opt_state = self.tx.init(params)
+        return params, opt_state
+
+    def validate(self, params):
+        return evaluate(
+            self.model,
+            params,
+            self.graph,
+            self.bundle.val,
+            self.bundle.train,
+            self.bundle.num_users,
+            self.bundle.num_items,
+            self.config.top_k,
+            self.config.eval_user_batch,
+        )
+
+    def fit(self, resume: bool = False):
+        cfg = self.config
+        key = jax.random.PRNGKey(cfg.seed)
+        init_key, key = jax.random.split(key)
+        params, opt_state = self.init_state(init_key)
+        start_epoch, best_recall = 1, 0.0
+
+        ckpt_dir = os.path.join(cfg.checkpoint_dir, cfg.checkpoint_name())
+        if resume:
+            restored = ckpt.load_latest(ckpt_dir, params, opt_state)
+            if restored is not None:
+                params, opt_state, start_epoch, best_recall, key = restored
+                start_epoch += 1
+                print(f"Resumed from epoch {start_epoch - 1} "
+                      f"(best recall {best_recall:.4f})")
+
+        examples_per_epoch = self.steps_per_epoch * cfg.batch_size
+        for epoch in range(start_epoch, cfg.epochs + 1):
+            key, epoch_key = jax.random.split(key)
+            t0 = time.perf_counter()
+            params, opt_state, losses = self._epoch_fn(params, opt_state, epoch_key)
+            losses = np.asarray(losses)
+            dt = time.perf_counter() - t0
+            avg_loss = float(losses.mean()) if len(losses) else 0.0
+            if self.logger is not None:
+                for l in losses:
+                    self.logger.log_batch_loss(float(l))
+                self.logger.log_throughput(examples_per_epoch / dt)
+            print(
+                f"Epoch {epoch}/{cfg.epochs}, Average Loss: {avg_loss:.4f} "
+                f"({examples_per_epoch / dt:,.0f} ex/s)"
+            )
+
+            if epoch % cfg.val_interval == 0:
+                recall, ndcg = self.validate(params)
+                print(
+                    f"Epoch {epoch} | Val Recall@{cfg.top_k}: {recall:.4f}, "
+                    f"Val NDCG@{cfg.top_k}: {ndcg:.4f}"
+                )
+                if self.logger is not None:
+                    self.logger.log_epoch_metrics(epoch, avg_loss, recall, ndcg)
+                if recall > best_recall:
+                    best_recall = recall
+                    ckpt.save(
+                        ckpt_dir, "best", params, opt_state, epoch, best_recall, key
+                    )
+                    print("New best model saved...")
+                # rolling 'last' checkpoint (same cadence as validation)
+                # enables crash recovery / resume
+                ckpt.save(ckpt_dir, "last", params, opt_state, epoch, best_recall, key)
+
+        if self.logger is not None:
+            self.logger.save(total_epochs=cfg.epochs)
+        return params, best_recall

@@ -1,0 +1,79 @@
+"""Orbax checkpointing with resume support.
+
+The reference only saves model weights on best-val-recall
+(``torch.save(model.state_dict())``, main.py:547-551) — no optimizer
+state and no way to resume training.  Here a checkpoint carries the
+full training state (params, Adam state, epoch, best metric, RNG key),
+written with Orbax under ``<dir>/<tag>`` for tags ``best`` and ``last``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _state_dict(params, opt_state, epoch, best_recall, key):
+    return {
+        "params": params,
+        "opt_state": opt_state,
+        "meta": {
+            "epoch": np.asarray(epoch, np.int64),
+            "best_recall": np.asarray(best_recall, np.float64),
+            # legacy uint32 key data (jax.random.PRNGKey) — stored raw
+            "key": np.asarray(key),
+        },
+    }
+
+
+def save(ckpt_dir: str, tag: str, params, opt_state, epoch: int, best_recall: float, key) -> str:
+    path = os.path.abspath(os.path.join(ckpt_dir, tag))
+    state = _state_dict(params, opt_state, epoch, best_recall, key)
+    with ocp.StandardCheckpointer() as ckptr:
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ckptr.save(path, state)
+    return path
+
+
+def _restore(path: str, params_template, opt_state_template) -> Optional[Tuple]:
+    if not os.path.exists(path):
+        return None
+    dummy_key = jax.random.PRNGKey(0)
+    abstract = jax.tree.map(
+        ocp.utils.to_shape_dtype_struct,
+        _state_dict(params_template, opt_state_template, 0, 0.0, dummy_key),
+    )
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(path, abstract)
+    import jax.numpy as jnp
+
+    key = jnp.asarray(state["meta"]["key"])
+    return (
+        state["params"],
+        state["opt_state"],
+        int(state["meta"]["epoch"]),
+        float(state["meta"]["best_recall"]),
+        key,
+    )
+
+
+def load_latest(ckpt_dir: str, params_template, opt_state_template) -> Optional[Tuple]:
+    return _restore(
+        os.path.abspath(os.path.join(ckpt_dir, "last")),
+        params_template,
+        opt_state_template,
+    )
+
+
+def load_best(ckpt_dir: str, params_template, opt_state_template) -> Optional[Tuple]:
+    return _restore(
+        os.path.abspath(os.path.join(ckpt_dir, "best")),
+        params_template,
+        opt_state_template,
+    )

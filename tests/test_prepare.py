@@ -1,0 +1,138 @@
+"""Data-prep recipe tests on tiny handcrafted jsonl fixtures."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gcn_recommendation_tpu.data.prepare import RECIPES, kcore_filter, prepare_and_save_data
+
+
+def _write_jsonl(path, records):
+    with open(path, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_kcore_filter_iterative():
+    # chain where removing a weak user cascades to a weak item
+    users = np.array([0, 0, 1, 1, 2], np.int64)
+    items = np.array([0, 1, 0, 1, 2], np.int64)
+    keep = kcore_filter(users, items, k=2)
+    # user 2 has 1 interaction -> dropped; item 2 then orphaned -> dropped
+    np.testing.assert_array_equal(keep, [True, True, True, True, False])
+
+
+def test_kcore_filter_noop_for_k1():
+    users = np.array([0, 1, 2], np.int64)
+    items = np.array([0, 1, 2], np.int64)
+    assert kcore_filter(users, items, 1).all()
+
+
+@pytest.fixture()
+def books_fixture(tmp_path):
+    reviews = []
+    # 3 users x 3 items fully connected -> survives 3-core
+    for u in range(3):
+        for i in range(3):
+            reviews.append(
+                {"user_id": f"u{u}", "parent_asin": f"i{i}", "rating": float(1 + (u + i) % 5)}
+            )
+    # weak user filtered by 3-core
+    reviews.append({"user_id": "weak", "parent_asin": "i0", "rating": 5.0})
+    meta = [
+        {"parent_asin": "i0", "author": {"name": "AuthorA"}},
+        {"parent_asin": "i1", "author": "plainstring"},
+        {"parent_asin": "i2"},
+    ]
+    rp, mp = tmp_path / "r.jsonl", tmp_path / "m.jsonl"
+    _write_jsonl(rp, reviews)
+    _write_jsonl(mp, meta)
+    return str(rp), str(mp), str(tmp_path / "out")
+
+
+def test_amazon_books_recipe(books_fixture):
+    rp, mp, out_base = books_fixture
+    out = prepare_and_save_data(RECIPES["amazon_books"], rp, mp, out_base, core=3)
+    assert out.endswith("processed_data_3")
+    stats = json.load(open(os.path.join(out, "stats.json")))
+    assert stats["num_users"] == 3 and stats["num_items"] == 3
+    # authors: AuthorA + Unknown (non-dict author and missing author)
+    assert stats["num_brands"] == 2
+    train = pd.read_parquet(os.path.join(out, "train.parquet"))
+    test = pd.read_parquet(os.path.join(out, "test.parquet"))
+    # leave-one-out: exactly one test row per user
+    assert len(test) == 3
+    assert len(train) + len(test) == 9
+    # per-user: the test row is the max-rating interaction
+    full = pd.concat([train.assign(s="tr"), test.assign(s="te")])
+    assert not os.path.exists(os.path.join(out, "item_embeddings.npy"))
+
+
+def test_amazon_books_emb_recipe(tmp_path):
+    reviews = []
+    for u in range(3):
+        for i in range(3):
+            reviews.append(
+                {
+                    "user_id": f"u{u}",
+                    "item_id": f"i{i}",
+                    "rating": 4.0,
+                    "sentiment": "positive" if (u + i) % 2 == 0 or True else "negative",
+                }
+            )
+    reviews.append({"user_id": "u0", "item_id": "i0", "rating": 1.0, "sentiment": "negative"})
+    meta = [
+        {"item_id": "i0", "categories": ["Root", "Fiction", "SciFi"], "embd": [0.1] * 4},
+        {"item_id": "i1", "categories": ["Root", "Fiction"], "embd": [0.2] * 4},
+        {"item_id": "i2", "categories": [], "embd": None},
+    ]
+    rp, mp = tmp_path / "r.jsonl", tmp_path / "m.jsonl"
+    _write_jsonl(rp, reviews)
+    _write_jsonl(mp, meta)
+    out = prepare_and_save_data(
+        RECIPES["amazon_books_emb"], str(rp), str(mp), str(tmp_path / "o"), core=1
+    )
+    assert out.endswith("processed_data_1_pos_only_cat")
+    ib = pd.read_parquet(os.path.join(out, "item_brand.parquet"))
+    # i0 -> Fiction, SciFi (2 rows); i1 -> Fiction; i2 -> Unknown
+    assert len(ib) == 4
+    emb = np.load(os.path.join(out, "item_embeddings.npy"))
+    assert emb.shape == (3, 4)
+    # i2 had no embedding -> zero-filled row
+    assert (emb[2] == 0).all()
+
+
+def test_steam_recipe_temporal_split(tmp_path):
+    reviews = []
+    for u in range(2):
+        for t, i in enumerate(["a", "b", "c"]):
+            reviews.append(
+                {"user_id": f"u{u}", "item_id": i, "timestamp": t, "recommanded": True}
+            )
+    reviews.append({"user_id": "u0", "item_id": "a", "timestamp": 99, "recommanded": False})
+    meta = [
+        {"item_id": "a", "genres": ["RPG"], "tags": {"Indie": 10}},
+        {"item_id": "b", "genres": [], "tags": {}},
+    ]
+    rp, mp = tmp_path / "r.jsonl", tmp_path / "m.jsonl"
+    _write_jsonl(rp, reviews)
+    _write_jsonl(mp, meta)
+    out = prepare_and_save_data(
+        RECIPES["steam_emb"], str(rp), str(mp), str(tmp_path / "o"), core=1
+    )
+    test = pd.read_parquet(os.path.join(out, "test.parquet"))
+    train = pd.read_parquet(os.path.join(out, "train.parquet"))
+    # newest (timestamp=2 -> item 'c') per user goes to test
+    item_map_c = 2  # 'c' third distinct item
+    assert (test["item_idx"] == item_map_c).all()
+    assert len(test) == 2 and len(train) == 4
+
+
+def test_loader_rejects_missing_stats(tmp_path):
+    from gcn_recommendation_tpu.data.loader import load_preprocessed_data
+
+    with pytest.raises(FileNotFoundError):
+        load_preprocessed_data(str(tmp_path))

@@ -1,0 +1,98 @@
+"""End-to-end training on the synthetic dataset: loss falls, recall rises,
+checkpoints roundtrip, resume works."""
+
+import jax
+import numpy as np
+import pytest
+
+from gcn_recommendation_tpu.config import Config
+from gcn_recommendation_tpu.models import get_model
+from gcn_recommendation_tpu.train.trainer import Trainer
+
+
+@pytest.fixture()
+def trainer(tiny_bundle, tmp_path):
+    bundle, _ = tiny_bundle
+    cfg = Config(
+        embedding_dim=16,
+        n_layers=2,
+        epochs=6,
+        batch_size=256,
+        val_interval=3,
+        dataset="synthetic",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        results_dir=str(tmp_path / "results"),
+    )
+    model = get_model("LightGCN")(
+        bundle.num_users, bundle.num_items, bundle.num_brands, cfg
+    )
+    return Trainer(cfg, model, bundle)
+
+
+def test_loss_decreases_and_recall_beats_random(trainer):
+    params, opt_state = trainer.init_state(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    first_losses = None
+    for e in range(6):
+        key, ek = jax.random.split(key)
+        params, opt_state, losses = trainer._epoch_fn(params, opt_state, ek)
+        if first_losses is None:
+            first_losses = np.asarray(losses)
+    last_losses = np.asarray(losses)
+    assert last_losses.mean() < first_losses.mean()
+
+    recall, ndcg = trainer.validate(params)
+    # random ranking recall@20 over 200 items ~= 0.1; trained should beat it
+    assert recall > 0.12
+    assert 0.0 < ndcg <= recall
+
+
+def test_fit_checkpoint_and_resume(trainer, tmp_path):
+    params, best = trainer.fit()
+    assert best > 0.0
+    # resume restores and continues without error
+    trainer.config.epochs = 7
+    params2, best2 = trainer.fit(resume=True)
+    assert best2 >= best
+
+
+def test_brand_loss_path_trains(tiny_bundle, tmp_path):
+    bundle, _ = tiny_bundle
+    cfg = Config(
+        embedding_dim=8,
+        n_layers=2,
+        epochs=1,
+        batch_size=128,
+        brand_loss=True,
+        checkpoint_dir=str(tmp_path / "ck2"),
+        results_dir=str(tmp_path / "res2"),
+    )
+    model = get_model("LightGCN")(
+        bundle.num_users, bundle.num_items, bundle.num_brands, cfg
+    )
+    tr = Trainer(cfg, model, bundle)
+    params, opt_state = tr.init_state(jax.random.PRNGKey(0))
+    params, opt_state, losses = tr._epoch_fn(params, opt_state, jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_fusion_model_trains(tiny_bundle, tmp_path):
+    bundle, data_dir = tiny_bundle
+    cfg = Config(
+        embedding_dim=8,
+        n_layers=2,
+        epochs=1,
+        batch_size=128,
+        model_name="LightGCN_Fusion",
+        checkpoint_dir=str(tmp_path / "ck3"),
+        results_dir=str(tmp_path / "res3"),
+    )
+    content = np.load(f"{data_dir}/item_embeddings.npy")
+    model = get_model("LightGCN_Fusion")(
+        bundle.num_users, bundle.num_items, bundle.num_brands, cfg,
+        pretrained_item_emb=content,
+    )
+    tr = Trainer(cfg, model, bundle)
+    params, opt_state = tr.init_state(jax.random.PRNGKey(0))
+    params, opt_state, losses = tr._epoch_fn(params, opt_state, jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(losses)).all()
