@@ -110,3 +110,74 @@ def generate_synthetic_dataset(
         emb = rng.standard_normal((num_items, embedding_dim)).astype(np.float32)
         np.save(os.path.join(out_dir, "item_embeddings.npy"), emb)
     return out_dir
+
+
+def synthetic_bundle(
+    num_users: int = 512,
+    num_items: int = 256,
+    num_brands: int = 32,
+    mean_degree: float = 16.0,
+    core: int = 4,
+    seed: int = 0,
+    use_brand: bool = True,
+):
+    """Build a DataBundle fully in memory (no parquet round-trip).
+
+    Used by __graft_entry__ and bench.py where file I/O is noise.
+    """
+    from gcn_recommendation_tpu.data.loader import (
+        DataBundle,
+        Interactions,
+        ItemBrand,
+        compute_graph_stats,
+    )
+    from gcn_recommendation_tpu.graph.build import build_normalized_adjacency
+
+    rng = np.random.default_rng(seed)
+    users, items = generate_interactions(rng, num_users, num_items, mean_degree, core)
+    counts = np.bincount(users, minlength=num_users)
+    ok = counts[users] >= 3
+    users, items = users[ok], items[ok]
+
+    order = rng.permutation(len(users))
+    u_shuf, i_shuf = users[order], items[order]
+    _, first = np.unique(u_shuf, return_index=True)
+    mask = np.zeros(len(u_shuf), dtype=bool)
+    mask[first] = True
+    test = Interactions(u_shuf[mask], i_shuf[mask])
+    rest_u, rest_i = u_shuf[~mask], i_shuf[~mask]
+    _, first2 = np.unique(rest_u, return_index=True)
+    mask2 = np.zeros(len(rest_u), dtype=bool)
+    mask2[first2] = True
+    val = Interactions(rest_u[mask2], rest_i[mask2])
+    train = Interactions(rest_u[~mask2], rest_i[~mask2])
+
+    brand1 = rng.integers(0, num_brands, num_items).astype(np.int32)
+    item_brand = ItemBrand(np.arange(num_items, dtype=np.int32), brand1)
+
+    graph = build_normalized_adjacency(
+        train.user_idx,
+        train.item_idx,
+        num_users,
+        num_items,
+        num_brands,
+        item_brand_item_idx=item_brand.item_idx,
+        item_brand_brand_idx=item_brand.brand_idx,
+        use_brand=use_brand,
+    )
+    item_to_brand = brand1.copy()
+    stats = compute_graph_stats(
+        train, item_brand, num_users, num_items, num_brands, use_brand
+    )
+    return DataBundle(
+        train=train,
+        val=val,
+        test=test,
+        num_users=num_users,
+        num_items=num_items,
+        num_brands=num_brands,
+        graph=graph,
+        item_brand=item_brand,
+        item_to_brand=item_to_brand,
+        graph_stats=stats,
+    )

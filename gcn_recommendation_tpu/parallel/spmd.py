@@ -1,0 +1,195 @@
+"""Multi-chip SPMD execution: DP x TP over a ('data', 'model') mesh.
+
+The reference has no distributed code at all (SURVEY.md §2.2 — single
+GPU, no collectives).  This module is the scale-out layer the north star
+requires:
+
+* **Tensor parallelism**: the embedding tables (the model's only large
+  parameters) are row-sharded over the ``model`` axis via NamedSharding;
+  propagation gathers over sharded tables, and XLA/GSPMD inserts the
+  all-gather / reduce-scatter pairs over ICI (the scaling-book recipe:
+  pick a mesh, annotate shardings, let the compiler place collectives).
+* **Data parallelism**: BPR batches are sharded over the ``data`` axis
+  with an explicit sharding constraint; gradient psum is inserted by XLA
+  from the loss mean.
+* **Distributed top-k** (explicit shard_map): the item catalog is
+  row-sharded over ``model``; each shard computes a local masked top-k,
+  then shards all-gather their (value, global-index) candidates and
+  re-select the global top-k — the cross-shard merge the reference's
+  single-GPU ``torch.topk`` (main.py:426) never needed.
+
+Pipeline parallelism is structurally inapplicable (3 SpMMs deep, no
+weight layers between them — SURVEY.md §2.2), and expert parallelism has
+no analogue here; both are intentionally unsupported.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gcn_recommendation_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
+from gcn_recommendation_tpu.ops.spmm import DeviceGraph
+from gcn_recommendation_tpu.ops.topk import MASK_VALUE
+from gcn_recommendation_tpu.train.trainer import Trainer
+
+
+def shard_params(params: dict, mesh: Mesh) -> dict:
+    """Row-shard every 2-D table over the model axis; replicate the rest."""
+
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def place(x):
+        # explicit device_put requires divisibility; non-divisible tables
+        # stay replicated (padded TP layouts are a later optimization)
+        if getattr(x, "ndim", 0) >= 2 and x.shape[0] % n_model == 0 and x.shape[0] > 0:
+            return jax.device_put(x, NamedSharding(mesh, P(MODEL_AXIS)))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree.map(place, params)
+
+
+def shard_graph(graph: DeviceGraph, mesh: Mesh) -> DeviceGraph:
+    """Shard bucket rows over the model axis; small index arrays replicate."""
+    model_rows = NamedSharding(mesh, P(MODEL_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def place_bucket(x):
+        if x.shape[0] % n_model == 0 and x.shape[0] > 0:
+            return jax.device_put(x, model_rows)
+        return jax.device_put(x, repl)
+
+    return DeviceGraph(
+        src=jax.device_put(graph.src, repl),
+        dst=jax.device_put(graph.dst, repl),
+        weight=jax.device_put(graph.weight, repl),
+        bucket_nbr_idx=tuple(place_bucket(b) for b in graph.bucket_nbr_idx),
+        bucket_nbr_w=tuple(place_bucket(b) for b in graph.bucket_nbr_w),
+        gather_idx=jax.device_put(graph.gather_idx, repl),
+    )
+
+
+class ShardedTrainer(Trainer):
+    """Trainer whose state and graph live sharded on a 2-D mesh.
+
+    The step/epoch functions are identical to the single-device Trainer —
+    sharding comes entirely from input placement plus one batch-sharding
+    constraint, and XLA compiles the collectives.
+    """
+
+    def __init__(self, config, model, bundle, mesh: Mesh, logger=None):
+        self.mesh = mesh
+        super().__init__(config, model, bundle, logger=logger)
+        self.graph = shard_graph(self.graph, mesh)
+        repl = NamedSharding(mesh, P())
+        self.train_users = jax.device_put(self.train_users, repl)
+        self.train_items = jax.device_put(self.train_items, repl)
+        self.item_to_brand = jax.device_put(self.item_to_brand, repl)
+        # rebuild the epoch fn against the sharded graph
+        self._epoch_fn = self._build_epoch_fn()
+
+    def _batch_loss(self, params, users, pos, neg):
+        # pin the batch to the data axis; grads psum falls out of the mean
+        users = jax.lax.with_sharding_constraint(
+            users, NamedSharding(self.mesh, P(DATA_AXIS))
+        )
+        pos = jax.lax.with_sharding_constraint(
+            pos, NamedSharding(self.mesh, P(DATA_AXIS))
+        )
+        neg = jax.lax.with_sharding_constraint(
+            neg, NamedSharding(self.mesh, P(DATA_AXIS))
+        )
+        return super()._batch_loss(params, users, pos, neg)
+
+    def init_state(self, key):
+        params, opt_state = super().init_state(key)
+        params = shard_params(params, self.mesh)
+        opt_state = shard_params(opt_state, self.mesh)
+        return params, opt_state
+
+
+# ---------------------------------------------------------------------------
+# Distributed top-k (explicit shard_map)
+# ---------------------------------------------------------------------------
+
+def _local_masked_topk(u_emb, item_shard, filter_idx, k, shard_items, axis):
+    """Per-shard masked top-k with global item indices."""
+    idx = jax.lax.axis_index(axis)
+    offset = idx * shard_items
+    scores = jnp.dot(u_emb, item_shard.T, preferred_element_type=jnp.float32)
+    b = u_emb.shape[0]
+    rows = jnp.arange(b)[:, None]
+    # translate global filter ids into this shard's local range; out-of-range
+    # ids fall outside [0, shard_items) and are dropped by scatter mode
+    local_filter = filter_idx - offset
+    local_filter = jnp.where(
+        (filter_idx >= offset) & (filter_idx < offset + shard_items),
+        local_filter,
+        shard_items,  # out-of-bounds -> dropped
+    )
+    scores = scores.at[rows, local_filter].set(MASK_VALUE, mode="drop")
+    vals, loc = jax.lax.top_k(scores, k)
+    return vals, loc + offset
+
+
+def sharded_topk_eval_batch(
+    mesh: Mesh,
+    user_emb_batch: jax.Array,  # [B, d] replicated
+    item_emb: jax.Array,        # [I_pad, d] row-sharded over model axis
+    filter_idx: jax.Array,      # [B, F] global item ids (pad >= I)
+    k: int,
+):
+    """Distributed masked top-k: local top-k per item shard + global merge.
+
+    ``item_emb`` must be padded to a multiple of the model-axis size; pad
+    rows must be all-zero (their scores can never reach the top-k of
+    trained embeddings, and padded filter ids mask them anyway if needed).
+    Returns (values, global_indices) of shape [B, k].
+    """
+    n_model = mesh.shape[MODEL_AXIS]
+    i_pad = item_emb.shape[0]
+    assert i_pad % n_model == 0, "pad the item table to the model-axis size"
+    shard_items = i_pad // n_model
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(MODEL_AXIS, None), P()),
+        out_specs=(P(), P()),
+        # after the all_gather every shard computes the identical merge, so
+        # the outputs are replicated even though the VMA analysis can't see it
+        check_vma=False,
+    )
+    def run(u_emb, item_shard, filt):
+        vals, gidx = _local_masked_topk(
+            u_emb, item_shard, filt, k, shard_items, MODEL_AXIS
+        )
+        # gather the k candidates from every shard and re-select
+        all_vals = jax.lax.all_gather(vals, MODEL_AXIS)   # [m, B, k]
+        all_idx = jax.lax.all_gather(gidx, MODEL_AXIS)
+        m = all_vals.shape[0]
+        b = u_emb.shape[0]
+        cand_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(b, m * k)
+        cand_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(b, m * k)
+        best_vals, pos = jax.lax.top_k(cand_vals, k)
+        best_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
+        return best_vals, best_idx
+
+    return run(user_emb_batch, item_emb, filter_idx)
+
+
+def pad_rows(x: np.ndarray, multiple: int) -> np.ndarray:
+    """Zero-pad the leading dim to a multiple (for even row sharding)."""
+    n = x.shape[0]
+    target = ((n + multiple - 1) // multiple) * multiple
+    if target == n:
+        return x
+    pad = np.zeros((target - n,) + x.shape[1:], dtype=x.dtype)
+    return np.concatenate([x, pad], axis=0)

@@ -1,0 +1,103 @@
+"""SPMD tests on the 8-virtual-device CPU mesh (SURVEY.md §4c)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gcn_recommendation_tpu.config import Config
+from gcn_recommendation_tpu.core.mesh import MeshSpec, create_mesh
+from gcn_recommendation_tpu.models import get_model
+from gcn_recommendation_tpu.ops.topk import masked_topk_scores
+from gcn_recommendation_tpu.parallel.spmd import (
+    ShardedTrainer,
+    pad_rows,
+    sharded_topk_eval_batch,
+)
+from gcn_recommendation_tpu.train.trainer import Trainer
+
+
+def test_mesh_creation_8_devices():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual CPU devices"
+    mesh = create_mesh(MeshSpec(data=2, model=4))
+    assert mesh.shape == {"data": 2, "model": 4}
+
+
+def test_sharded_topk_matches_single_device():
+    rng = np.random.default_rng(0)
+    B, I, d, k = 16, 100, 8, 5
+    mesh = create_mesh(MeshSpec(data=2, model=4))
+    u = rng.standard_normal((B, d)).astype(np.float32)
+    items = rng.standard_normal((I, d)).astype(np.float32)
+    filt = np.full((B, 4), I, np.int32)
+    filt[0, :2] = [3, 97]
+    filt[5, 0] = 42
+
+    items_pad = pad_rows(items, 4 * 8)  # even shards, zero rows
+    # mask the zero pad rows too so they can't enter the top-k
+    pad_ids = np.arange(I, items_pad.shape[0], dtype=np.int32)
+    filt_full = np.concatenate(
+        [filt, np.tile(pad_ids, (B, 1))], axis=1
+    )
+
+    vals_s, idx_s = sharded_topk_eval_batch(
+        mesh, jnp.asarray(u), jnp.asarray(items_pad), jnp.asarray(filt_full), k
+    )
+    vals_r, idx_r = masked_topk_scores(
+        jnp.asarray(u), jnp.asarray(items), jnp.asarray(filt), k
+    )
+    np.testing.assert_allclose(np.asarray(vals_s), np.asarray(vals_r), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_r))
+
+
+@pytest.fixture()
+def sharded_pair(tiny_bundle, tmp_path):
+    bundle, _ = tiny_bundle
+    cfg = Config(
+        embedding_dim=16,
+        n_layers=2,
+        epochs=2,
+        batch_size=128,
+        checkpoint_dir=str(tmp_path / "ck"),
+        results_dir=str(tmp_path / "res"),
+    )
+    model = get_model("LightGCN")(
+        bundle.num_users, bundle.num_items, bundle.num_brands, cfg
+    )
+    mesh = create_mesh(MeshSpec(data=2, model=4))
+    return (
+        Trainer(cfg, model, bundle),
+        ShardedTrainer(cfg, model, bundle, mesh),
+    )
+
+
+def test_sharded_epoch_matches_single_device(sharded_pair):
+    single, sharded = sharded_pair
+    p1, o1 = single.init_state(jax.random.PRNGKey(0))
+    p2, o2 = sharded.init_state(jax.random.PRNGKey(0))
+    # identical init
+    for k in p1:
+        np.testing.assert_array_equal(np.asarray(p1[k]), np.asarray(p2[k]))
+
+    p1, o1, l1 = single._epoch_fn(p1, o1, jax.random.PRNGKey(7))
+    p2, o2, l2 = sharded._epoch_fn(p2, o2, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-4, atol=1e-6)
+    for k in p1:
+        np.testing.assert_allclose(
+            np.asarray(p1[k]), np.asarray(p2[k]), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_sharded_state_is_actually_sharded(sharded_pair):
+    _, sharded = sharded_pair
+    params, _ = sharded.init_state(jax.random.PRNGKey(0))
+    sh = params["user_embedding"].sharding
+    assert sh.spec[0] == "model"
+
+
+def test_sharded_validate_runs(sharded_pair):
+    _, sharded = sharded_pair
+    params, _ = sharded.init_state(jax.random.PRNGKey(0))
+    recall, ndcg = sharded.validate(params)
+    assert 0.0 <= recall <= 1.0
+    assert 0.0 <= ndcg <= 1.0
