@@ -65,21 +65,13 @@ def bench_jax(bundle):
     trainer = Trainer(cfg, model, bundle)
     params, opt_state = trainer.init_state(jax.random.PRNGKey(0))
 
-    # per-step function (outside the epoch scan so step count is exact)
+    # per-step function (outside the epoch scan so step count is exact);
+    # the graph/data arrays are jit ARGUMENTS (never closure constants)
     import functools
-    import optax
-
-    from gcn_recommendation_tpu.train.loss import bpr_loss_reg
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, key, users, pos):
-        neg = trainer.sample_negatives(key, users)
-        loss, grads = jax.value_and_grad(
-            lambda p: trainer._batch_loss(p, users, pos, neg)
-        )(params)
-        updates, opt_state = trainer.tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+    def step(params, opt_state, key, arrays, users, pos):
+        return trainer._train_step(params, opt_state, key, arrays, users, pos)
 
     rng = np.random.default_rng(0)
     n = len(bundle.train)
@@ -90,14 +82,19 @@ def bench_jax(bundle):
     ib = [jnp.asarray(bundle.train.item_idx[b]) for b in batches]
     keys = [jax.random.PRNGKey(i) for i in range(len(batches))]
 
+    arrays = trainer.arrays
     loss = None
     for i in range(WARMUP_STEPS):
-        params, opt_state, loss = step(params, opt_state, keys[i], ub[i], ib[i])
+        params, opt_state, loss = step(
+            params, opt_state, keys[i], arrays, ub[i], ib[i]
+        )
     jax.block_until_ready(loss)
 
     t0 = time.perf_counter()
     for i in range(WARMUP_STEPS, WARMUP_STEPS + TIMED_STEPS):
-        params, opt_state, loss = step(params, opt_state, keys[i], ub[i], ib[i])
+        params, opt_state, loss = step(
+            params, opt_state, keys[i], arrays, ub[i], ib[i]
+        )
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
     train_ex_per_s = TIMED_STEPS * BATCH / dt

@@ -3,6 +3,7 @@ from gcn_recommendation_tpu.data.sampler import (
     epoch_batches,
     make_negative_sampler,
     membership_arrays,
+    sample_negatives,
 )
 
 __all__ = [
@@ -11,4 +12,5 @@ __all__ = [
     "epoch_batches",
     "make_negative_sampler",
     "membership_arrays",
+    "sample_negatives",
 ]

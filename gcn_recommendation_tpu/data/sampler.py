@@ -66,47 +66,73 @@ def _is_positive(flat_items, user_ptr, users, cands, n_iters: int):
     return (lo < end) & (found_val == cands)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("num_items", "n_rounds", "n_iters")
+)
+def sample_negatives(
+    key: jax.Array,
+    users: jax.Array,
+    user_ptr: jax.Array,
+    flat_items: jax.Array,
+    *,
+    num_items: int,
+    n_rounds: int = 16,
+    n_iters: int = 24,
+) -> jax.Array:
+    """Draw one uniform non-positive item per user (pure function).
+
+    ``user_ptr``/``flat_items`` are jit arguments, NOT closure constants —
+    closures would embed the positive sets into the compiled HLO as
+    literals (huge compile payloads; see trainer.py docstring).
+    """
+    if flat_items.shape[0] == 0:
+        return jax.random.randint(key, users.shape, 0, num_items, dtype=jnp.int32)
+
+    def round_body(_, carry):
+        key, cand, colliding = carry
+        key, sub = jax.random.split(key)
+        fresh = jax.random.randint(sub, users.shape, 0, num_items, dtype=jnp.int32)
+        cand = jnp.where(colliding, fresh, cand)
+        colliding = colliding & _is_positive(
+            flat_items, user_ptr, users, cand, n_iters
+        )
+        return key, cand, colliding
+
+    init = (
+        key,
+        jnp.zeros(users.shape, dtype=jnp.int32),
+        jnp.ones(users.shape, dtype=bool),
+    )
+    _, cand, _ = jax.lax.fori_loop(0, n_rounds, round_body, init)
+    return cand
+
+
 def make_negative_sampler(
     user_ptr: np.ndarray,
     flat_items: np.ndarray,
     num_items: int,
     n_rounds: int = 16,
 ):
-    """Return a jittable ``sample(key, users) -> neg_items`` function."""
-    if len(flat_items) == 0:
-        # no positives at all -> plain uniform draws
-        @jax.jit
-        def sample_uniform(key: jax.Array, users: jax.Array) -> jax.Array:
-            return jax.random.randint(key, users.shape, 0, num_items, dtype=jnp.int32)
+    """Convenience wrapper binding the positive-set arrays.
 
-        return sample_uniform
-
+    The arrays are still passed at call time (as device arrays), so jit
+    treats them as parameters.
+    """
     user_ptr_d = jnp.asarray(user_ptr)
     flat_items_d = jnp.asarray(flat_items)
-    max_deg = int(np.max(user_ptr[1:] - user_ptr[:-1]))
+    max_deg = int(np.max(user_ptr[1:] - user_ptr[:-1])) if len(flat_items) else 1
     n_iters = max(1, int(np.ceil(np.log2(max(max_deg, 2)))) + 1)
 
-    @jax.jit
     def sample(key: jax.Array, users: jax.Array) -> jax.Array:
-        def round_body(_, carry):
-            key, cand, colliding = carry
-            key, sub = jax.random.split(key)
-            fresh = jax.random.randint(
-                sub, users.shape, 0, num_items, dtype=jnp.int32
-            )
-            cand = jnp.where(colliding, fresh, cand)
-            colliding = colliding & _is_positive(
-                flat_items_d, user_ptr_d, users, cand, n_iters
-            )
-            return key, cand, colliding
-
-        init = (
+        return sample_negatives(
             key,
-            jnp.zeros(users.shape, dtype=jnp.int32),
-            jnp.ones(users.shape, dtype=bool),
+            users,
+            user_ptr_d,
+            flat_items_d,
+            num_items=num_items,
+            n_rounds=n_rounds,
+            n_iters=n_iters,
         )
-        _, cand, _ = jax.lax.fori_loop(0, n_rounds, round_body, init)
-        return cand
 
     return sample
 

@@ -17,7 +17,7 @@ Both compute exactly ``A_norm @ emb`` for the symmetric normalized
 adjacency.  Gradients flow through gathers (transpose = scatter-add handled
 by XLA only in the backward pass, where it is unavoidable — the forward hot
 path stays scatter-free; the ELL backward transposes to a gather over the
-same structure because A is symmetric, see ``_propagate_ell_sym``).
+same structure because A is symmetric, see ``_propagate_ell_bwd``).
 """
 
 from __future__ import annotations
@@ -43,7 +43,9 @@ class DeviceGraph(NamedTuple):
     weight: jax.Array         # [nnz_pad] f32
     bucket_nbr_idx: Tuple[jax.Array, ...]  # per bucket [nb, width] int32
     bucket_nbr_w: Tuple[jax.Array, ...]    # per bucket [nb, width] f32
-    gather_idx: jax.Array     # [num_nodes] int32 into concat(buckets)+zeros row
+    gather_idx: jax.Array     # [num_nodes] int32 into
+                              # concat(buckets, dense rows, zeros row)
+    dense_mat: jax.Array      # [H, num_nodes] f32 hub rows (MXU path)
 
 
 def to_device_graph(g: Graph, compute_dtype=jnp.float32) -> DeviceGraph:
@@ -56,6 +58,7 @@ def to_device_graph(g: Graph, compute_dtype=jnp.float32) -> DeviceGraph:
             jnp.asarray(b.nbr_w, dtype=compute_dtype) for b in g.buckets
         ),
         gather_idx=jnp.asarray(g.gather_idx),
+        dense_mat=jnp.asarray(g.dense_mat, dtype=compute_dtype),
     )
 
 
@@ -73,33 +76,41 @@ def propagate_coo(
     )
 
 
-def _ell_matvec(emb, bucket_nbr_idx, bucket_nbr_w, gather_idx):
+def _ell_matvec(emb, bucket_nbr_idx, bucket_nbr_w, gather_idx, dense_mat):
     parts = []
     for idx, w in zip(bucket_nbr_idx, bucket_nbr_w):
         gathered = jnp.take(emb, idx, axis=0)          # [nb, width, d]
         parts.append(jnp.sum(gathered * w[..., None], axis=1))
+    if dense_mat.shape[0]:
+        # hub rows: one dense MXU matmul replaces the power-law gather tail
+        parts.append(
+            jnp.dot(dense_mat, emb, preferred_element_type=jnp.float32).astype(
+                emb.dtype
+            )
+        )
     parts.append(jnp.zeros((1, emb.shape[1]), emb.dtype))  # degree-0 row
     return jnp.concatenate(parts, axis=0)[gather_idx]
 
 
 @jax.custom_vjp
-def propagate_ell(emb, bucket_nbr_idx, bucket_nbr_w, gather_idx):
-    """Scatter-free SpMM over the degree-bucketed ELL adjacency."""
-    return _ell_matvec(emb, bucket_nbr_idx, bucket_nbr_w, gather_idx)
+def propagate_ell(emb, bucket_nbr_idx, bucket_nbr_w, gather_idx, dense_mat):
+    """Scatter-free SpMM over the degree-bucketed ELL adjacency
+    (+ dense MXU rows for hub nodes)."""
+    return _ell_matvec(emb, bucket_nbr_idx, bucket_nbr_w, gather_idx, dense_mat)
 
 
-def _propagate_ell_fwd(emb, bucket_nbr_idx, bucket_nbr_w, gather_idx):
-    out = _ell_matvec(emb, bucket_nbr_idx, bucket_nbr_w, gather_idx)
-    return out, (bucket_nbr_idx, bucket_nbr_w, gather_idx)
+def _propagate_ell_fwd(emb, bucket_nbr_idx, bucket_nbr_w, gather_idx, dense_mat):
+    out = _ell_matvec(emb, bucket_nbr_idx, bucket_nbr_w, gather_idx, dense_mat)
+    return out, (bucket_nbr_idx, bucket_nbr_w, gather_idx, dense_mat)
 
 
 def _propagate_ell_bwd(res, g):
     # A_norm is symmetric, so d(emb) = A_norm^T @ g = A_norm @ g — the
     # backward pass is the *same* scatter-free gather kernel applied to the
     # cotangent.  This is the key trick that keeps training scatter-free.
-    bucket_nbr_idx, bucket_nbr_w, gather_idx = res
-    d_emb = _ell_matvec(g, bucket_nbr_idx, bucket_nbr_w, gather_idx)
-    return d_emb, None, None, None
+    bucket_nbr_idx, bucket_nbr_w, gather_idx, dense_mat = res
+    d_emb = _ell_matvec(g, bucket_nbr_idx, bucket_nbr_w, gather_idx, dense_mat)
+    return d_emb, None, None, None, None
 
 
 propagate_ell.defvjp(_propagate_ell_fwd, _propagate_ell_bwd)
@@ -112,7 +123,11 @@ def propagate(emb: jax.Array, graph: DeviceGraph, num_nodes: int, *, path: str =
     """
     if path == "ell":
         return propagate_ell(
-            emb, graph.bucket_nbr_idx, graph.bucket_nbr_w, graph.gather_idx
+            emb,
+            graph.bucket_nbr_idx,
+            graph.bucket_nbr_w,
+            graph.gather_idx,
+            graph.dense_mat,
         )
     elif path == "coo":
         return propagate_coo(emb, graph.src, graph.dst, graph.weight, num_nodes)

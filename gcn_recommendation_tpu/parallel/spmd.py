@@ -73,6 +73,9 @@ def shard_graph(graph: DeviceGraph, mesh: Mesh) -> DeviceGraph:
         bucket_nbr_idx=tuple(place_bucket(b) for b in graph.bucket_nbr_idx),
         bucket_nbr_w=tuple(place_bucket(b) for b in graph.bucket_nbr_w),
         gather_idx=jax.device_put(graph.gather_idx, repl),
+        dense_mat=place_bucket(graph.dense_mat)
+        if graph.dense_mat.shape[0]
+        else jax.device_put(graph.dense_mat, repl),
     )
 
 
@@ -87,15 +90,17 @@ class ShardedTrainer(Trainer):
     def __init__(self, config, model, bundle, mesh: Mesh, logger=None):
         self.mesh = mesh
         super().__init__(config, model, bundle, logger=logger)
-        self.graph = shard_graph(self.graph, mesh)
         repl = NamedSharding(mesh, P())
-        self.train_users = jax.device_put(self.train_users, repl)
-        self.train_items = jax.device_put(self.train_items, repl)
-        self.item_to_brand = jax.device_put(self.item_to_brand, repl)
-        # rebuild the epoch fn against the sharded graph
-        self._epoch_fn = self._build_epoch_fn()
+        self.arrays = self.arrays._replace(
+            graph=shard_graph(self.arrays.graph, mesh),
+            train_users=jax.device_put(self.arrays.train_users, repl),
+            train_items=jax.device_put(self.arrays.train_items, repl),
+            user_ptr=jax.device_put(self.arrays.user_ptr, repl),
+            flat_items=jax.device_put(self.arrays.flat_items, repl),
+            item_to_brand=jax.device_put(self.arrays.item_to_brand, repl),
+        )
 
-    def _batch_loss(self, params, users, pos, neg):
+    def _batch_loss(self, params, arrays, users, pos, neg):
         # pin the batch to the data axis; grads psum falls out of the mean
         users = jax.lax.with_sharding_constraint(
             users, NamedSharding(self.mesh, P(DATA_AXIS))
@@ -106,7 +111,7 @@ class ShardedTrainer(Trainer):
         neg = jax.lax.with_sharding_constraint(
             neg, NamedSharding(self.mesh, P(DATA_AXIS))
         )
-        return super()._batch_loss(params, users, pos, neg)
+        return super()._batch_loss(params, arrays, users, pos, neg)
 
     def init_state(self, key):
         params, opt_state = super().init_state(key)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -57,7 +58,14 @@ def evaluate(
     if len(users) == 0:
         return 0.0, 0.0
 
-    fu, fi, _, _, _ = model.apply(params, device_graph)  # one propagation
+    # one propagation per eval (main.py:413), jitted with the graph as an
+    # argument (closure constants would bloat the compile payload); the
+    # jitted callable is cached on the model so repeated evals don't retrace
+    apply_jit = getattr(model, "_apply_jit", None)
+    if apply_jit is None:
+        apply_jit = jax.jit(model.apply)
+        model._apply_jit = apply_jit
+    fu, fi, _, _, _ = apply_jit(params, device_graph)
 
     # CSR view of the filter set for padded batch construction
     f_ptr, f_items = membership_arrays(

@@ -17,6 +17,9 @@ TPU-native differences:
   worker processes);
 * a whole epoch executes as one ``lax.scan`` over shuffled batches —
   one device dispatch per epoch instead of one per batch;
+* all large arrays (graph, interaction lists, positive sets) are jit
+  *arguments*, never closure constants — closures would bake them into
+  the HLO as literals, exploding compile time and payload size;
 * checkpoints (params + optimizer state + epoch + best metric + RNG)
   go through Orbax, and training can *resume* — the reference could
   only save weights (main.py:547-551, no optimizer state, no resume).
@@ -27,7 +30,7 @@ from __future__ import annotations
 import functools
 import os
 import time
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,14 +40,25 @@ import optax
 from gcn_recommendation_tpu.data.loader import DataBundle
 from gcn_recommendation_tpu.data.sampler import (
     epoch_batches,
-    make_negative_sampler,
     membership_arrays,
+    sample_negatives,
 )
-from gcn_recommendation_tpu.ops.spmm import to_device_graph
+from gcn_recommendation_tpu.ops.spmm import DeviceGraph, to_device_graph
 from gcn_recommendation_tpu.train.evaluate import evaluate
 from gcn_recommendation_tpu.train.loss import bpr_loss_reg
 from gcn_recommendation_tpu.utils import checkpoint as ckpt
 from gcn_recommendation_tpu.utils.logging import Logger
+
+
+class TrainArrays(NamedTuple):
+    """Device-resident training data, passed through jit as arguments."""
+
+    graph: DeviceGraph
+    train_users: jax.Array    # [n_train] int32
+    train_items: jax.Array    # [n_train] int32
+    user_ptr: jax.Array       # [num_users+1] — positive-set CSR (sampler)
+    flat_items: jax.Array     # [n_train] sorted per user
+    item_to_brand: jax.Array  # [num_items]
 
 
 class Trainer:
@@ -53,29 +67,56 @@ class Trainer:
         self.model = model
         self.bundle = bundle
         self.logger = logger
-        self.graph = to_device_graph(bundle.graph)
 
-        self.train_users = jnp.asarray(bundle.train.user_idx)
-        self.train_items = jnp.asarray(bundle.train.item_idx)
         user_ptr, flat_items = membership_arrays(
             bundle.train.user_idx, bundle.train.item_idx, bundle.num_users
         )
-        self.sample_negatives = make_negative_sampler(
-            user_ptr, flat_items, bundle.num_items
+        max_deg = int(np.max(user_ptr[1:] - user_ptr[:-1])) if len(flat_items) else 1
+        self.sampler_iters = max(1, int(np.ceil(np.log2(max(max_deg, 2)))) + 1)
+        self.arrays = TrainArrays(
+            graph=to_device_graph(bundle.graph),
+            train_users=jnp.asarray(bundle.train.user_idx),
+            train_items=jnp.asarray(bundle.train.item_idx),
+            user_ptr=jnp.asarray(user_ptr),
+            flat_items=jnp.asarray(flat_items),
+            item_to_brand=jnp.asarray(bundle.item_to_brand),
         )
-        self.item_to_brand = jnp.asarray(bundle.item_to_brand)
 
         self.tx = optax.adam(config.learning_rate)
         self.n_train = len(bundle.train)
         steps = max(1, -(-self.n_train // config.batch_size))
         self.steps_per_epoch = min(10, steps) if config.debug else steps
 
-        self._epoch_fn = self._build_epoch_fn()
+        self._epoch_fn_jit = self._build_epoch_fn()
+
+    # back-compat accessors -------------------------------------------------
+    @property
+    def graph(self):
+        return self.arrays.graph
+
+    @graph.setter
+    def graph(self, g):
+        self.arrays = self.arrays._replace(graph=g)
+
+    def sample_negatives(self, key, users):
+        return sample_negatives(
+            key,
+            users,
+            self.arrays.user_ptr,
+            self.arrays.flat_items,
+            num_items=self.bundle.num_items,
+            n_iters=self.sampler_iters,
+        )
+
+    def _epoch_fn(self, params, opt_state, key):
+        return self._epoch_fn_jit(params, opt_state, key, self.arrays)
 
     # --- loss over one batch given full forward outputs ---
-    def _batch_loss(self, params, users, pos, neg):
+    def _batch_loss(self, params, arrays: TrainArrays, users, pos, neg):
         cfg = self.config
-        fu_all, fi_all, fb_all, u0_all, i0_all = self.model.apply(params, self.graph)
+        fu_all, fi_all, fb_all, u0_all, i0_all = self.model.apply(
+            params, arrays.graph
+        )
         fu = jnp.take(fu_all, users, axis=0)
         fp = jnp.take(fi_all, pos, axis=0)
         fn_ = jnp.take(fi_all, neg, axis=0)
@@ -83,8 +124,8 @@ class Trainer:
         ip = jnp.take(i0_all, pos, axis=0)
         in_ = jnp.take(i0_all, neg, axis=0)
         if cfg.brand_loss and cfg.use_brand:
-            pb = jnp.take(self.item_to_brand, pos)
-            nb = jnp.take(self.item_to_brand, neg)
+            pb = jnp.take(arrays.item_to_brand, pos)
+            nb = jnp.take(arrays.item_to_brand, neg)
             return bpr_loss_reg(
                 fu, fp, fn_, iu, ip, in_, cfg.weight_decay,
                 brand_loss=True, final_brand_emb=fb_all,
@@ -93,22 +134,28 @@ class Trainer:
             )
         return bpr_loss_reg(fu, fp, fn_, iu, ip, in_, cfg.weight_decay)
 
+    def _train_step(self, params, opt_state, key, arrays: TrainArrays, users, pos):
+        neg = sample_negatives(
+            key,
+            users,
+            arrays.user_ptr,
+            arrays.flat_items,
+            num_items=self.bundle.num_items,
+            n_iters=self.sampler_iters,
+        )
+        loss, grads = jax.value_and_grad(
+            lambda p: self._batch_loss(p, arrays, users, pos, neg)
+        )(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
     def _build_epoch_fn(self):
         cfg = self.config
-        tx = self.tx
         n_steps = self.steps_per_epoch
 
-        def step(params, opt_state, key, users, pos):
-            neg = self.sample_negatives(key, users)
-            loss, grads = jax.value_and_grad(
-                lambda p: self._batch_loss(p, users, pos, neg)
-            )(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
-
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def run_epoch(params, opt_state, key):
+        def run_epoch(params, opt_state, key, arrays: TrainArrays):
             perm_key, key = jax.random.split(key)
             batches = epoch_batches(perm_key, self.n_train, cfg.batch_size)
             batches = batches[:n_steps]
@@ -116,9 +163,11 @@ class Trainer:
             def body(carry, batch_idx):
                 params, opt_state, key = carry
                 key, k1 = jax.random.split(key)
-                users = jnp.take(self.train_users, batch_idx)
-                pos = jnp.take(self.train_items, batch_idx)
-                params, opt_state, loss = step(params, opt_state, k1, users, pos)
+                users = jnp.take(arrays.train_users, batch_idx)
+                pos = jnp.take(arrays.train_items, batch_idx)
+                params, opt_state, loss = self._train_step(
+                    params, opt_state, k1, arrays, users, pos
+                )
                 return (params, opt_state, key), loss
 
             (params, opt_state, _), losses = jax.lax.scan(
@@ -138,7 +187,7 @@ class Trainer:
         return evaluate(
             self.model,
             params,
-            self.graph,
+            self.arrays.graph,
             self.bundle.val,
             self.bundle.train,
             self.bundle.num_users,

@@ -90,9 +90,10 @@ def test_ell_buckets_cover_all_edges():
         u, i, nu, ni, nb, item_brand_item_idx=bi, item_brand_brand_idx=bb
     )
     total_entries = sum(int((b.nbr_w != 0).sum()) for b in g.buckets)
+    total_entries += int((g.dense_mat != 0).sum())
     assert total_entries == (g.weight != 0).sum()
     # gather_idx is a valid permutation into concat(buckets)+zero row
-    n_rows = sum(b.node_ids.shape[0] for b in g.buckets)
+    n_rows = sum(b.node_ids.shape[0] for b in g.buckets) + len(g.dense_node_ids)
     assert g.gather_idx.max() <= n_rows
     assert g.gather_idx.min() >= 0
 

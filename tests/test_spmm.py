@@ -47,7 +47,8 @@ def test_ell_path_matches_dense(graph_and_dense):
     emb = np.random.default_rng(1).standard_normal((n, 16)).astype(np.float32)
     dg = to_device_graph(g)
     out = propagate_ell(
-        jnp.asarray(emb), dg.bucket_nbr_idx, dg.bucket_nbr_w, dg.gather_idx
+        jnp.asarray(emb), dg.bucket_nbr_idx, dg.bucket_nbr_w, dg.gather_idx,
+        dg.dense_mat,
     )
     np.testing.assert_allclose(np.asarray(out), dense @ emb, rtol=2e-5, atol=2e-5)
 
@@ -78,7 +79,10 @@ def test_ell_gradient_is_symmetric_spmm(graph_and_dense):
 
     def loss_ell(e):
         return jnp.sum(
-            propagate_ell(e, dg.bucket_nbr_idx, dg.bucket_nbr_w, dg.gather_idx) * v
+            propagate_ell(
+                e, dg.bucket_nbr_idx, dg.bucket_nbr_w, dg.gather_idx, dg.dense_mat
+            )
+            * v
         )
 
     grad = jax.grad(loss_ell)(emb)
