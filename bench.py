@@ -5,8 +5,15 @@ raw data and no throughput numbers — BASELINE.md), LightGCN dim-64,
 3 layers, batch 2048, full-graph propagation per step exactly like the
 reference hot loop (main.py:488-526).
 
-``vs_baseline`` is measured, not assumed: the same train step is run with
-a faithful torch re-implementation of the reference (torch.sparse.mm COO
+Measurement methodology (axon TPU tunnel): ``block_until_ready`` does not
+actually wait on this platform and per-call argument marshalling costs
+~10ms, so the only honest measurement is the production path itself — a
+whole epoch as one ``lax.scan`` on device, timed wall-clock from dispatch
+to fetching the loss array.  Top-k QPS is likewise measured as a scanned
+batch of eval queries per dispatch.
+
+``vs_baseline`` is measured, not assumed: the same train step runs in a
+faithful torch re-implementation of the reference (torch.sparse.mm COO
 propagation + Adam, CPU — the only runnable reference equivalent in this
 environment) on the same graph, and the ratio reported.
 
@@ -32,8 +39,8 @@ MEAN_DEGREE = 28.0
 BATCH = 2048
 DIM = 64
 LAYERS = 3
-WARMUP_STEPS = 10
-TIMED_STEPS = 30
+SCAN_STEPS = 60      # steps per timed dispatch
+TIMED_REPS = 3
 TORCH_STEPS = 3
 
 
@@ -52,6 +59,16 @@ def build_bundle():
 
 def bench_jax(bundle):
     import jax
+
+    # persistent compilation cache: repeated driver runs skip the (slow)
+    # remote compile
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from gcn_recommendation_tpu.config import Config
@@ -63,58 +80,57 @@ def bench_jax(bundle):
         bundle.num_users, bundle.num_items, bundle.num_brands, cfg
     )
     trainer = Trainer(cfg, model, bundle)
+    # bound the scan length so each timed dispatch is ~2.5s
+    trainer.steps_per_epoch = SCAN_STEPS
+    trainer._epoch_fn_jit = trainer._build_epoch_fn()
     params, opt_state = trainer.init_state(jax.random.PRNGKey(0))
 
-    # per-step function (outside the epoch scan so step count is exact);
-    # the graph/data arrays are jit ARGUMENTS (never closure constants)
+    t0 = time.perf_counter()
+    params, opt_state, losses = trainer._epoch_fn(
+        params, opt_state, jax.random.PRNGKey(1)
+    )
+    np.asarray(losses)  # forces completion (block_until_ready is unreliable)
+    sys.stderr.write(f"train compile+first: {time.perf_counter() - t0:.1f}s\n")
+
+    times = []
+    for rep in range(TIMED_REPS):
+        t0 = time.perf_counter()
+        params, opt_state, losses = trainer._epoch_fn(
+            params, opt_state, jax.random.PRNGKey(2 + rep)
+        )
+        l = np.asarray(losses)
+        times.append(time.perf_counter() - t0)
+    assert np.isfinite(l).all()
+    best = min(times)
+    train_ex_per_s = SCAN_STEPS * BATCH / best
+
+    # --- top-k QPS: scanned full-catalog eval queries ---
+    fu, fi, *_ = model.apply(params, trainer.arrays.graph)
+    rng = np.random.default_rng(0)
+    n_batches = 20
+    users_eval = jnp.asarray(
+        rng.integers(0, bundle.num_users, (n_batches, 1024)).astype(np.int32)
+    )
+    from gcn_recommendation_tpu.ops.topk import masked_topk_scores
+
     import functools
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, key, arrays, users, pos):
-        return trainer._train_step(params, opt_state, key, arrays, users, pos)
+    @jax.jit
+    def eval_scan(fu, fi, users):
+        filt = jnp.full((1024, 8), fi.shape[0], dtype=jnp.int32)
 
-    rng = np.random.default_rng(0)
-    n = len(bundle.train)
-    batches = [
-        rng.integers(0, n, BATCH) for _ in range(WARMUP_STEPS + TIMED_STEPS)
-    ]
-    ub = [jnp.asarray(bundle.train.user_idx[b]) for b in batches]
-    ib = [jnp.asarray(bundle.train.item_idx[b]) for b in batches]
-    keys = [jax.random.PRNGKey(i) for i in range(len(batches))]
+        def body(carry, ub):
+            u = jnp.take(fu, ub, axis=0)
+            vals, idx = masked_topk_scores(u, fi, filt, 20)
+            return carry + jnp.sum(idx[:, 0]), None
 
-    arrays = trainer.arrays
-    loss = None
-    for i in range(WARMUP_STEPS):
-        params, opt_state, loss = step(
-            params, opt_state, keys[i], arrays, ub[i], ib[i]
-        )
-    jax.block_until_ready(loss)
+        out, _ = jax.lax.scan(body, jnp.zeros((), jnp.int64), users)
+        return out
 
+    _ = int(eval_scan(fu, fi, users_eval))
     t0 = time.perf_counter()
-    for i in range(WARMUP_STEPS, WARMUP_STEPS + TIMED_STEPS):
-        params, opt_state, loss = step(
-            params, opt_state, keys[i], arrays, ub[i], ib[i]
-        )
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
-    train_ex_per_s = TIMED_STEPS * BATCH / dt
-
-    # top-k QPS: score 1024-user batches against the full catalog
-    from gcn_recommendation_tpu.ops.topk import topk_eval_batch
-
-    fu, fi, *_ = model.apply(params, trainer.graph)
-    users_eval = jnp.asarray(rng.integers(0, bundle.num_users, 1024).astype(np.int32))
-    true_items = jnp.asarray(rng.integers(0, bundle.num_items, 1024).astype(np.int32))
-    filt = jnp.full((1024, 64), bundle.num_items, dtype=jnp.int32)
-    valid = jnp.ones(1024, bool)
-    out = topk_eval_batch(fu, fi, users_eval, true_items, filt, valid, 20)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    reps = 20
-    for _ in range(reps):
-        out = topk_eval_batch(fu, fi, users_eval, true_items, filt, valid, 20)
-    jax.block_until_ready(out)
-    topk_qps = reps * 1024 / (time.perf_counter() - t0)
+    _ = int(eval_scan(fu, fi, users_eval))
+    topk_qps = n_batches * 1024 / (time.perf_counter() - t0)
 
     return train_ex_per_s, topk_qps
 
