@@ -43,6 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--use_pretrained_emb", action="store_true",
                         help="Initialize item embeddings with pretrained text embeddings.")
         sp.add_argument("--seed", type=int, default=42)
+        sp.add_argument("--debug_nans", action="store_true",
+                        help="Enable jax_debug_nans (abort on NaN/Inf in any op).")
 
     tr = sub.add_parser("train", help="Train a model.")
     add_common(tr)
@@ -80,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
 def _make_config(args):
     from gcn_recommendation_tpu.config import Config
 
+    if getattr(args, "debug_nans", False):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     kwargs = dict(
         model_name=args.model_name,
         dataset=args.dataset,
@@ -90,6 +96,7 @@ def _make_config(args):
         debug=args.debug,
         use_pretrained_emb=args.use_pretrained_emb,
         seed=args.seed,
+        debug_nans=getattr(args, "debug_nans", False),
     )
     if args.mode == "train":
         kwargs["epochs"] = args.epochs

@@ -116,3 +116,61 @@ class LightGCN:
         fi = final[self.num_users : self.num_users + self.num_items]
         fb = final[self.num_users + self.num_items :]
         return fu, fi, fb, params["user_embedding"], params["item_embedding"]
+
+
+def debug_diagnostics(model, params, graph_np, max_nodes: int = 20000, n_probe: int = 100, seed: int = 42):
+    """Reference debug-mode self-checks, host-side.
+
+    Reproduces the two diagnostics the reference runs inside forward()
+    when ``--debug`` is set:
+
+    * per-layer brand-embedding L2 norms (models/lightgcn.py:49-51);
+    * the brand-influence check: average cosine similarity between the
+      final item embeddings and a one-hop user-item-only propagation via
+      the *dense* adjacency on ``n_probe`` random items
+      (models/lightgcn.py:62-78).
+
+    Runs in numpy on the host (the dense adjacency is debug-only and
+    quadratic); refuses graphs above ``max_nodes``.  Returns a dict of
+    the computed diagnostics and prints them like the reference.
+    """
+    g = graph_np
+    n = g.num_nodes
+    nu, ni = model.num_users, model.num_items
+    if n > max_nodes:
+        print(f"[debug] graph too large for dense diagnostics ({n} nodes)")
+        return {}
+    dense = np.zeros((n, n), np.float32)
+    dense[g.dst, g.src] += g.weight
+
+    user0 = np.asarray(params["user_embedding"], np.float32)
+    item0 = np.asarray(params["item_embedding"], np.float32)
+    brand0 = np.asarray(params["brand_embedding"], np.float32)
+    ego = np.concatenate([user0, item0, brand0])
+
+    norms = []
+    acc = ego.copy()
+    e = ego
+    for layer in range(model.n_layers):
+        e = dense @ e
+        acc += e
+        bn = float(np.linalg.norm(e[nu + ni :]))
+        norms.append(bn)
+        print(f"Layer {layer + 1} brand embedding L2 norm: {bn:.6f}")
+    final = acc / (model.n_layers + 1)
+    final_item = final[nu : nu + ni]
+
+    rng = np.random.default_rng(seed)
+    probe = rng.integers(0, ni, n_probe)
+    item_with_brand = final_item[probe]
+
+    adj_ui = dense[: nu + ni, : nu + ni]
+    ego_nb = np.concatenate([user0, item0])
+    ego_nb = adj_ui @ ego_nb
+    item_nb = item0[probe] + ego_nb[nu : nu + ni][probe]
+
+    dot = np.sum(item_with_brand * item_nb, axis=1)
+    denom = np.linalg.norm(item_with_brand, axis=1) * np.linalg.norm(item_nb, axis=1)
+    cos = float(np.mean(dot / np.maximum(denom, 1e-12)))
+    print(f"Average cos similarity (item emb with/without brand): {cos:.6f}")
+    return {"brand_norms": norms, "brand_influence_cosine": cos}

@@ -203,6 +203,12 @@ class Trainer:
         params, opt_state = self.init_state(init_key)
         start_epoch, best_recall = 1, 0.0
 
+        if cfg.debug and type(self.model).__name__ == "LightGCN":
+            # reference debug-mode self-checks (models/lightgcn.py:49-78)
+            from gcn_recommendation_tpu.models.lightgcn import debug_diagnostics
+
+            debug_diagnostics(self.model, params, self.bundle.graph)
+
         ckpt_dir = os.path.join(cfg.checkpoint_dir, cfg.checkpoint_name())
         if resume:
             restored = ckpt.load_latest(ckpt_dir, params, opt_state)
