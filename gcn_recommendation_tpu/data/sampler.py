@@ -14,9 +14,12 @@ uniform over each user's non-positive items:
   (``log2(max_degree)`` iterations on the VPU) — no padded
   [users x max_degree] table, so memory stays O(nnz);
 * rejection runs as a fixed number of redraw rounds under
-  ``lax.fori_loop``.  With catalog density < 10% the probability any
-  sample is still colliding after 16 rounds is < 1e-16; such samples
-  keep their last draw (measure-zero deviation, noted for parity).
+  ``lax.fori_loop``.  With per-user catalog density p (typically <1%%),
+  the probability any sample still collides after the default 6 rounds
+  is p^6 (~1e-12 at p=1%%); such samples keep their last draw — a
+  measure-zero deviation from true rejection sampling, noted for parity.
+  Each round costs a full binary-search membership pass, so fewer
+  rounds directly cut per-step time.
 
 Epoch batching mirrors shuffled DataLoader epochs (main.py:462-464): a
 device-side permutation reshaped to [steps, batch]; the trailing partial
@@ -76,7 +79,7 @@ def sample_negatives(
     flat_items: jax.Array,
     *,
     num_items: int,
-    n_rounds: int = 16,
+    n_rounds: int = 6,
     n_iters: int = 24,
 ) -> jax.Array:
     """Draw one uniform non-positive item per user (pure function).
@@ -111,7 +114,7 @@ def make_negative_sampler(
     user_ptr: np.ndarray,
     flat_items: np.ndarray,
     num_items: int,
-    n_rounds: int = 16,
+    n_rounds: int = 6,
 ):
     """Convenience wrapper binding the positive-set arrays.
 

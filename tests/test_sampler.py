@@ -19,8 +19,10 @@ def _toy_positives():
 
 
 def test_negatives_never_positive():
+    # the toy catalog has 30% positive density — far above real data —
+    # so give the rejection loop enough rounds to make leakage ~0.3^24
     user_ptr, flat = _toy_positives()
-    sampler = make_negative_sampler(user_ptr, flat, num_items=10)
+    sampler = make_negative_sampler(user_ptr, flat, num_items=10, n_rounds=24)
     users = jnp.asarray(np.repeat([0, 1, 2], 500).astype(np.int32))
     negs = np.asarray(sampler(jax.random.PRNGKey(0), users))
     pos_sets = {0: {0, 1, 2}, 1: {3}, 2: set()}
@@ -31,7 +33,7 @@ def test_negatives_never_positive():
 
 def test_negatives_uniform_over_non_positives():
     user_ptr, flat = _toy_positives()
-    sampler = make_negative_sampler(user_ptr, flat, num_items=10)
+    sampler = make_negative_sampler(user_ptr, flat, num_items=10, n_rounds=24)
     users = jnp.zeros(70000, jnp.int32)  # user 0 -> valid negatives {3..9}
     negs = np.asarray(sampler(jax.random.PRNGKey(1), users))
     counts = np.bincount(negs, minlength=10)
