@@ -153,6 +153,7 @@ def bucket_by_degree(
     num_nodes: int,
     dense_threshold: Optional[int] = None,
     max_dense_bytes: int = 512 * 1024 * 1024,
+    num_src_nodes: Optional[int] = None,
 ) -> Tuple[List[EllBucket], np.ndarray, np.ndarray, np.ndarray]:
     """Build the degree-bucketed ELL view (+ dense hub rows) from
     dst-sorted edges.
@@ -165,8 +166,14 @@ def bucket_by_degree(
     power-law tail.  The dense block is capped at ``max_dense_bytes``
     (threshold auto-raised to fit).
 
+    ``num_src_nodes`` sets the dense matrix's column space (defaults to
+    ``num_nodes``; differs when destination rows are a shard of a larger
+    source space — parallel/halo.py).
+
     Returns (buckets, gather_idx, dense_node_ids, dense_mat).
     """
+    if num_src_nodes is None:
+        num_src_nodes = num_nodes
     deg = np.bincount(dst_sorted, minlength=num_nodes).astype(np.int64)
     row_start = np.zeros(num_nodes + 1, dtype=np.int64)
     np.cumsum(deg, out=row_start[1:])
@@ -177,12 +184,15 @@ def bucket_by_degree(
     # respect the dense-memory budget: raise the threshold until H*N fits
     while True:
         hub_mask = deg > dense_threshold
-        if hub_mask.sum() * num_nodes * 4 <= max_dense_bytes or dense_threshold >= deg.max():
+        if (
+            hub_mask.sum() * num_src_nodes * 4 <= max_dense_bytes
+            or dense_threshold >= max(int(deg.max()), 1)
+        ):
             break
         dense_threshold *= 2
     dense_node_ids = np.flatnonzero(hub_mask).astype(np.int64)
     h = len(dense_node_ids)
-    dense_mat = np.zeros((h, num_nodes), dtype=np.float32)
+    dense_mat = np.zeros((h, num_src_nodes), dtype=np.float32)
     if h:
         lengths = deg[dense_node_ids]
         starts = row_start[dense_node_ids]

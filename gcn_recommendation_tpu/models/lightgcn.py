@@ -117,6 +117,22 @@ class LightGCN:
         fb = final[self.num_users + self.num_items :]
         return fu, fi, fb, params["user_embedding"], params["item_embedding"]
 
+    def apply_with_propagator(self, params: dict, propagator, num_nodes_pad: int):
+        """Forward pass through an external propagator (the halo-exchange
+        sharded path, parallel/halo.py) that computes the whole
+        mean-over-layers in one call.  Same returns as ``apply``."""
+        num_nodes = self.num_users + self.num_items + self.num_brands
+        ego = self._initial_block(params)
+        if num_nodes_pad > num_nodes:
+            ego = jnp.concatenate(
+                [ego, jnp.zeros((num_nodes_pad - num_nodes, ego.shape[1]), ego.dtype)]
+            )
+        final = propagator(ego)[:num_nodes]
+        fu = final[: self.num_users]
+        fi = final[self.num_users : self.num_users + self.num_items]
+        fb = final[self.num_users + self.num_items :]
+        return fu, fi, fb, params["user_embedding"], params["item_embedding"]
+
 
 def debug_diagnostics(model, params, graph_np, max_nodes: int = 20000, n_probe: int = 100, seed: int = 42):
     """Reference debug-mode self-checks, host-side.

@@ -1,0 +1,329 @@
+"""Explicit sharded propagation: row-partitioned nodes + halo exchange.
+
+This is the graph analogue of sequence parallelism (SURVEY.md §5
+"long-context"): the reference holds every embedding and the whole
+adjacency on one device (main.py:336); here node rows are partitioned
+contiguously across the ``model`` axis and each propagation layer
+
+1. **all-gathers** the source-node embeddings over the model axis (the
+   halo exchange — the direct analogue of ring-attention's KV rotation;
+   XLA lowers it to an ICI ring all-gather),
+2. runs the **local scatter-free ELL/dense kernel** over the shard's
+   destination rows only.
+
+Autodiff through ``shard_map`` transposes the all-gather into a
+reduce-scatter, so the backward pass has the same communication volume.
+
+Unlike the GSPMD formulation in spmd.py (where the compiler chooses the
+collectives), this module fixes the schedule explicitly, which is what
+you want on a real pod: one all-gather of [N, d] per layer over ICI,
+nothing over DCN.
+
+Host-side, ``shard_ell`` re-buckets the graph per shard with a common
+bucket-width set and per-width row counts padded to the max across
+shards, so every shard runs the same program (SPMD requires identical
+shapes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gcn_recommendation_tpu.core.mesh import MODEL_AXIS
+from gcn_recommendation_tpu.graph.build import Graph, bucket_by_degree
+
+
+class ShardedEllArrays(NamedTuple):
+    """Device arrays of the per-shard ELL adjacency (a jit-able pytree)."""
+
+    bucket_nbr_idx: Tuple[jax.Array, ...]  # per width [m, rows, w] int32
+    bucket_nbr_w: Tuple[jax.Array, ...]    # per width [m, rows, w] f32
+    gather_idx: jax.Array                  # [m, nodes_per_shard] int32
+    dense_mat: jax.Array                   # [m, h_max, num_nodes_pad] f32
+
+
+class ShardedEll:
+    """Per-shard ELL adjacency: static metadata + array pytree.
+
+    Arrays live in ``.arrays`` so they can be passed through jit as
+    arguments (never closure constants — see PERF.md)."""
+
+    def __init__(self, arrays: ShardedEllArrays, n_shards, nodes_per_shard, num_nodes):
+        self.arrays = arrays
+        self.n_shards = n_shards
+        self.nodes_per_shard = nodes_per_shard
+        self.num_nodes = num_nodes            # true (unpadded) node count
+
+    @property
+    def num_nodes_pad(self):
+        return self.n_shards * self.nodes_per_shard
+
+
+def shard_ell(graph: Graph, n_shards: int, dense_threshold: int = 512) -> ShardedEll:
+    """Partition destination rows contiguously into ``n_shards`` shards.
+
+    Each shard gets its own degree-bucketed ELL (+ dense hub rows) over a
+    shared width set; row counts are zero-padded to the per-width max so
+    all shards are shape-identical.
+    """
+    n = graph.num_nodes
+    nps = -(-n // n_shards)
+    n_pad = nps * n_shards
+
+    dst = graph.dst[: graph.nnz].astype(np.int64)
+    src = graph.src[: graph.nnz].astype(np.int64)
+    w = graph.weight[: graph.nnz]
+
+    per_shard = []
+    for s in range(n_shards):
+        lo, hi = s * nps, min((s + 1) * nps, n)
+        m = (dst >= lo) & (dst < hi)
+        # local dst ids, global src ids
+        buckets, gidx, hub_ids, dense = bucket_by_degree(
+            dst[m] - lo,
+            src[m],
+            w[m],
+            nps,
+            dense_threshold=dense_threshold,
+            num_src_nodes=n_pad,
+        )
+        per_shard.append((buckets, gidx, hub_ids, dense))
+
+    # union of widths across shards
+    widths = sorted({b.width for bks, *_ in per_shard for b in bks})
+    rows_max = {
+        wd: max(
+            next((b.nbr_idx.shape[0] for b in bks if b.width == wd), 0)
+            for bks, *_ in per_shard
+        )
+        for wd in widths
+    }
+    h_max = max(d.shape[0] for *_, d in per_shard)
+
+    stacked_idx, stacked_w = [], []
+    for wd in widths:
+        si = np.zeros((n_shards, rows_max[wd], wd), np.int32)
+        sw = np.zeros((n_shards, rows_max[wd], wd), np.float32)
+        for s, (bks, *_rest) in enumerate(per_shard):
+            for b in bks:
+                if b.width == wd:
+                    si[s, : b.nbr_idx.shape[0]] = b.nbr_idx
+                    sw[s, : b.nbr_w.shape[0]] = b.nbr_w
+        stacked_idx.append(jnp.asarray(si))
+        stacked_w.append(jnp.asarray(sw))
+
+    # per-shard gather_idx must address the *padded* concat layout:
+    # [width-0 rows_max | width-1 rows_max | ... | h_max dense | 1 zeros].
+    # Rebuild it from each shard's own (unpadded) layout.
+    gather = np.zeros((n_shards, nps), np.int32)
+    dense_stack = np.zeros((n_shards, h_max, n_pad), np.float32)
+    width_offset = {}
+    off = 0
+    for wd in widths:
+        width_offset[wd] = off
+        off += rows_max[wd]
+    dense_offset = off
+    zeros_row = off + h_max
+
+    for s, (bks, _gidx, hub_ids, dense) in enumerate(per_shard):
+        local = np.full(nps, zeros_row, np.int32)
+        for b in bks:
+            local[b.node_ids] = width_offset[b.width] + np.arange(
+                b.node_ids.shape[0], dtype=np.int32
+            )
+        if hub_ids.shape[0]:
+            local[hub_ids] = dense_offset + np.arange(hub_ids.shape[0], dtype=np.int32)
+            dense_stack[s, : dense.shape[0], : dense.shape[1]] = dense
+        gather[s] = local
+
+    return ShardedEll(
+        ShardedEllArrays(
+            bucket_nbr_idx=tuple(stacked_idx),
+            bucket_nbr_w=tuple(stacked_w),
+            gather_idx=jnp.asarray(gather),
+            dense_mat=jnp.asarray(dense_stack),
+        ),
+        n_shards=n_shards,
+        nodes_per_shard=nps,
+        num_nodes=n,
+    )
+
+
+def _local_propagate(full_emb, bucket_nbr_idx, bucket_nbr_w, gather_idx, dense_mat):
+    """One shard's output rows from the gathered full embedding block."""
+    parts = []
+    for idx, wt in zip(bucket_nbr_idx, bucket_nbr_w):
+        gathered = jnp.take(full_emb, idx, axis=0)
+        parts.append(jnp.sum(gathered * wt[..., None], axis=1))
+    if dense_mat.shape[0]:
+        parts.append(
+            jnp.dot(dense_mat, full_emb, preferred_element_type=jnp.float32).astype(
+                full_emb.dtype
+            )
+        )
+    parts.append(jnp.zeros((1, full_emb.shape[1]), full_emb.dtype))
+    return jnp.concatenate(parts, axis=0)[gather_idx]
+
+
+def make_halo_propagator(mesh: Mesh, sharded: ShardedEll, n_layers: int):
+    """Build ``fn(emb_pad [N_pad, d]) -> (final, layer0_passthrough)``.
+
+    Computes the LightGCN layer mean ``mean(e0, A e0, ..., A^K e0)`` with
+    the explicit all-gather-per-layer schedule.  Input and output are the
+    full padded node block (replicated in/out for composability; the
+    internal compute is sharded).
+    """
+
+    assert sharded.n_shards == mesh.shape[MODEL_AXIS], (
+        f"graph sharded {sharded.n_shards}-way but model axis is "
+        f"{mesh.shape[MODEL_AXIS]}"
+    )
+
+    n_widths = len(sharded.arrays.bucket_nbr_idx)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(MODEL_AXIS),  # emb rows sharded
+            (P(MODEL_AXIS, None, None),) * n_widths,
+            (P(MODEL_AXIS, None, None),) * n_widths,
+            P(MODEL_AXIS, None),
+            P(MODEL_AXIS, None, None),
+        ),
+        out_specs=P(MODEL_AXIS),
+    )
+    def run(emb_local, b_idx, b_w, gidx, dmat):
+        # leading shard axis is size 1 inside the map
+        b_idx = tuple(x[0] for x in b_idx)
+        b_w = tuple(x[0] for x in b_w)
+        gidx = gidx[0]
+        dmat = dmat[0]
+        acc = emb_local
+        e = emb_local
+        for _ in range(n_layers):
+            full = jax.lax.all_gather(e, MODEL_AXIS, tiled=True)  # halo exchange
+            e = _local_propagate(full, b_idx, b_w, gidx, dmat)
+            acc = acc + e
+        return acc / (n_layers + 1)
+
+    def propagate(emb_pad, arrays: ShardedEllArrays = None):
+        a = arrays if arrays is not None else sharded.arrays
+        return run(
+            emb_pad,
+            a.bucket_nbr_idx,
+            a.bucket_nbr_w,
+            a.gather_idx,
+            a.dense_mat,
+        )
+
+    return propagate
+
+
+class HaloTrainer:
+    """Trainer variant using the explicit halo-exchange propagation.
+
+    Mirrors train.trainer.Trainer's API (init_state / _epoch_fn /
+    validate) but the forward pass runs through ``make_halo_propagator``
+    — the schedule you want on a real pod.  Tested against the
+    single-device trainer on the virtual CPU mesh (tests/test_halo.py).
+    """
+
+    def __init__(self, config, model, bundle, mesh: Mesh):
+        import optax
+
+        from gcn_recommendation_tpu.data.sampler import (
+            epoch_batches,
+            membership_arrays,
+            sample_negatives,
+        )
+        from gcn_recommendation_tpu.train.loss import bpr_loss_reg
+
+        self.config = config
+        self.model = model
+        self.bundle = bundle
+        self.mesh = mesh
+        n_shards = mesh.shape[MODEL_AXIS]
+        self.sharded = shard_ell(bundle.graph, n_shards)
+        self.propagator = make_halo_propagator(mesh, self.sharded, model.n_layers)
+
+        user_ptr, flat_items = membership_arrays(
+            bundle.train.user_idx, bundle.train.item_idx, bundle.num_users
+        )
+        max_deg = int(np.max(user_ptr[1:] - user_ptr[:-1])) if len(flat_items) else 1
+        n_iters = max(1, int(np.ceil(np.log2(max(max_deg, 2)))) + 1)
+        self.tx = optax.adam(config.learning_rate)
+        self.n_train = len(bundle.train)
+        steps = max(1, -(-self.n_train // config.batch_size))
+        self.steps_per_epoch = min(10, steps) if config.debug else steps
+
+        train_users = jnp.asarray(bundle.train.user_idx)
+        train_items = jnp.asarray(bundle.train.item_idx)
+        user_ptr_d = jnp.asarray(user_ptr)
+        flat_items_d = jnp.asarray(flat_items)
+        self._data = (train_users, train_items, user_ptr_d, flat_items_d)
+
+        model_ = model
+        cfg = config
+        num_items = bundle.num_items
+        npad = self.sharded.num_nodes_pad
+        n_steps = self.steps_per_epoch
+        propagator = self.propagator
+        tx = self.tx
+        n_train = self.n_train
+
+        def batch_loss(params, ell_arrays, users, pos, neg):
+            fu_all, fi_all, _, u0_all, i0_all = model_.apply_with_propagator(
+                params, lambda e: propagator(e, ell_arrays), npad
+            )
+            fu = jnp.take(fu_all, users, axis=0)
+            fp = jnp.take(fi_all, pos, axis=0)
+            fn_ = jnp.take(fi_all, neg, axis=0)
+            iu = jnp.take(u0_all, users, axis=0)
+            ip = jnp.take(i0_all, pos, axis=0)
+            in_ = jnp.take(i0_all, neg, axis=0)
+            return bpr_loss_reg(fu, fp, fn_, iu, ip, in_, cfg.weight_decay)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def run_epoch(params, opt_state, key, ell_arrays, data):
+            train_users, train_items, user_ptr_d, flat_items_d = data
+            perm_key, key = jax.random.split(key)
+            batches = epoch_batches(perm_key, n_train, cfg.batch_size)[:n_steps]
+
+            def body(carry, batch_idx):
+                params, opt_state, key = carry
+                key, k1 = jax.random.split(key)
+                users = jnp.take(train_users, batch_idx)
+                pos = jnp.take(train_items, batch_idx)
+                neg = sample_negatives(
+                    k1, users, user_ptr_d, flat_items_d,
+                    num_items=num_items, n_iters=n_iters,
+                )
+                loss, grads = jax.value_and_grad(
+                    lambda p: batch_loss(p, ell_arrays, users, pos, neg)
+                )(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, key), loss
+
+            (params, opt_state, _), losses = jax.lax.scan(
+                body, (params, opt_state, key), batches
+            )
+            return params, opt_state, losses
+
+        self._run_epoch = run_epoch
+
+    def init_state(self, key):
+        params = self.model.init(key)
+        return params, self.tx.init(params)
+
+    def _epoch_fn(self, params, opt_state, key):
+        return self._run_epoch(
+            params, opt_state, key, self.sharded.arrays, self._data
+        )
