@@ -208,8 +208,21 @@ def run_prepare(args) -> int:
     return prepare.run_recipe(args)
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache — remote (axon) compiles are slow."""
+    try:
+        import jax
+
+        cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    _enable_compile_cache()
     np.random.seed(args.seed if hasattr(args, "seed") else 42)  # main.py:607
     if args.mode == "train":
         return run_train(args)

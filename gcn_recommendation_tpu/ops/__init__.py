@@ -5,6 +5,10 @@ from gcn_recommendation_tpu.ops.spmm import (
     propagate_ell,
     to_device_graph,
 )
+from gcn_recommendation_tpu.ops.quant import (
+    quantize_rows_int8,
+    quantized_topk_scores,
+)
 from gcn_recommendation_tpu.ops.topk import masked_topk_scores, topk_eval_batch
 
 __all__ = [
@@ -15,4 +19,6 @@ __all__ = [
     "to_device_graph",
     "masked_topk_scores",
     "topk_eval_batch",
+    "quantize_rows_int8",
+    "quantized_topk_scores",
 ]

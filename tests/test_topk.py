@@ -85,3 +85,53 @@ def test_topk_eval_padding_rows_ignored():
         jnp.asarray(true), jnp.asarray(filt), jnp.asarray(valid), k,
     )
     assert float(cnt) == 2.0
+
+
+def test_eval_user_dedup_last_occurrence_wins():
+    # dict(zip(users, items)) keeps the LAST item per user (main.py:406)
+    from gcn_recommendation_tpu.data.loader import Interactions
+    from gcn_recommendation_tpu.train.evaluate import dedup_eval_users
+
+    inter = Interactions(
+        np.array([3, 1, 3, 2], np.int32), np.array([10, 11, 12, 13], np.int32)
+    )
+    users, items = dedup_eval_users(inter)
+    assert dict(zip(users.tolist(), items.tolist())) == {1: 11, 2: 13, 3: 12}
+
+
+def test_full_evaluate_pipeline_vs_numpy(tiny_bundle):
+    """evaluate() end-to-end vs a numpy re-implementation of the protocol."""
+    import jax
+    from gcn_recommendation_tpu.config import Config
+    from gcn_recommendation_tpu.models import get_model
+    from gcn_recommendation_tpu.ops.spmm import to_device_graph
+    from gcn_recommendation_tpu.train.evaluate import dedup_eval_users, evaluate
+
+    bundle, _ = tiny_bundle
+    cfg = Config(embedding_dim=8, n_layers=2)
+    model = get_model("LightGCN")(
+        bundle.num_users, bundle.num_items, bundle.num_brands, cfg
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    dg = to_device_graph(bundle.graph)
+    recall, ndcg = evaluate(
+        model, params, dg, bundle.val, bundle.train,
+        bundle.num_users, bundle.num_items, k=10, batch_size=64,
+    )
+
+    fu, fi, *_ = model.apply(params, dg)
+    fu, fi = np.asarray(fu), np.asarray(fi)
+    users, true_items = dedup_eval_users(bundle.val)
+    seen = {}
+    for u, i in zip(bundle.train.user_idx, bundle.train.item_idx):
+        seen.setdefault(int(u), []).append(int(i))
+    recalls, ndcgs = [], []
+    for u, t in zip(users, true_items):
+        s = fu[u] @ fi.T
+        s[seen.get(int(u), [])] = -1e10
+        top = np.argsort(-s, kind="stable")[:10]
+        hit = t in top
+        recalls.append(float(hit))
+        ndcgs.append(1.0 / np.log2(int(np.where(top == t)[0][0]) + 2) if hit else 0.0)
+    np.testing.assert_allclose(recall, np.mean(recalls), rtol=1e-6)
+    np.testing.assert_allclose(ndcg, np.mean(ndcgs), rtol=1e-5)
