@@ -74,7 +74,10 @@ class Trainer:
         max_deg = int(np.max(user_ptr[1:] - user_ptr[:-1])) if len(flat_items) else 1
         self.sampler_iters = max(1, int(np.ceil(np.log2(max(max_deg, 2)))) + 1)
         self.arrays = TrainArrays(
-            graph=to_device_graph(bundle.graph),
+            graph=to_device_graph(
+                bundle.graph,
+                compute_dtype=jnp.dtype(getattr(config, "compute_dtype", "float32")),
+            ),
             train_users=jnp.asarray(bundle.train.user_idx),
             train_items=jnp.asarray(bundle.train.item_idx),
             user_ptr=jnp.asarray(user_ptr),
