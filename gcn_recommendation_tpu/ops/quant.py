@@ -48,9 +48,12 @@ def _quant_kernel(seed_ref, x_ref, q_ref, scale_ref):
     # unlike pltpu.stochastic_round it also runs under the interpreter.
     # Use the top 24 bits via a logical shift so the uniform stays in
     # [0,1) regardless of signed reinterpretation.
-    u01 = jax.lax.shift_right_logical(
-        bits, jnp.uint32(8)
-    ).astype(jnp.float32) * (1.0 / 16777216.0)
+    # (Mosaic cannot cast uint32->f32 directly; the top-24-bit value fits
+    # in int32, so reinterpret first.)
+    top24 = pltpu.bitcast(
+        jax.lax.shift_right_logical(bits, jnp.uint32(8)), jnp.int32
+    )
+    u01 = top24.astype(jnp.float32) * (1.0 / 16777216.0)
     rounded = jnp.floor(scaled + u01)
     q_ref[:] = jnp.clip(rounded, -127.0, 127.0).astype(jnp.int8)
     scale_ref[:] = scale
