@@ -48,7 +48,12 @@ class DeviceGraph(NamedTuple):
     dense_mat: jax.Array      # [H, num_nodes] f32 hub rows (MXU path)
 
 
-def to_device_graph(g: Graph, compute_dtype=jnp.float32) -> DeviceGraph:
+def to_device_graph(g: Graph, compute_dtype=jnp.float32, dense_dtype=None) -> DeviceGraph:
+    """``dense_dtype`` (default = compute_dtype) controls the hub-row
+    matrix precision: bf16 halves its HBM read at ~0.4% weight rounding —
+    an opt-in trade (see PERF.md)."""
+    if dense_dtype is None:
+        dense_dtype = compute_dtype
     return DeviceGraph(
         src=jnp.asarray(g.src),
         dst=jnp.asarray(g.dst),
@@ -58,7 +63,7 @@ def to_device_graph(g: Graph, compute_dtype=jnp.float32) -> DeviceGraph:
             jnp.asarray(b.nbr_w, dtype=compute_dtype) for b in g.buckets
         ),
         gather_idx=jnp.asarray(g.gather_idx),
-        dense_mat=jnp.asarray(g.dense_mat, dtype=compute_dtype),
+        dense_mat=jnp.asarray(g.dense_mat, dtype=dense_dtype),
     )
 
 
@@ -84,9 +89,11 @@ def _ell_matvec(emb, bucket_nbr_idx, bucket_nbr_w, gather_idx, dense_mat):
     if dense_mat.shape[0]:
         # hub rows: one dense MXU matmul replaces the power-law gather tail
         parts.append(
-            jnp.dot(dense_mat, emb, preferred_element_type=jnp.float32).astype(
-                emb.dtype
-            )
+            jnp.dot(
+                dense_mat,
+                emb.astype(dense_mat.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(emb.dtype)
         )
     parts.append(jnp.zeros((1, emb.shape[1]), emb.dtype))  # degree-0 row
     return jnp.concatenate(parts, axis=0)[gather_idx]
