@@ -122,9 +122,9 @@ def bench_jax(bundle):
         def body(carry, ub):
             u = jnp.take(fu, ub, axis=0)
             vals, idx = masked_topk_scores(u, fi, filt, 20)
-            return carry + jnp.sum(idx[:, 0]), None
+            return carry + jnp.sum(idx[:, 0]).astype(jnp.int32), None
 
-        out, _ = jax.lax.scan(body, jnp.zeros((), jnp.int64), users)
+        out, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), users)
         return out
 
     _ = int(eval_scan(fu, fi, users_eval))

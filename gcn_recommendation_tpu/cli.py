@@ -111,6 +111,10 @@ def _make_config(args):
 def _load_everything(config):
     from gcn_recommendation_tpu.data.loader import load_preprocessed_data
     from gcn_recommendation_tpu.models import get_model
+    import jax
+
+    # device banner (parity with main.py:60 "Using device: ...")
+    print(f"Using device: {jax.devices()[0]}")
 
     pretrained = None
     if config.use_pretrained_emb or config.model_name == "LightGCN_Fusion":
