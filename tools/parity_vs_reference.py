@@ -28,7 +28,7 @@ REFERENCE = "/root/reference"
 sys.path.insert(0, REPO)
 
 
-def generate(workdir: str, core: int, seed: int) -> str:
+def generate(workdir: str, core: int, seed: int, embedding_dim=None) -> str:
     from gcn_recommendation_tpu.data.synthetic import generate_synthetic_dataset
 
     data_dir = os.path.join(workdir, "dataset", "steam_emb", f"processed_data_{core}")
@@ -40,11 +40,13 @@ def generate(workdir: str, core: int, seed: int) -> str:
         mean_degree=18.0,
         core=5,
         seed=seed,
+        embedding_dim=embedding_dim,
     )
     return data_dir
 
 
-def run_reference(workdir: str, epochs: int) -> dict:
+def run_reference(workdir: str, epochs: int, model_name="LightGCN",
+                  use_pretrained=False) -> dict:
     """Run the unmodified reference main.py (torch CPU) against the
     synthetic dataset and parse its epoch-history CSV."""
     env = dict(os.environ)
@@ -52,9 +54,14 @@ def run_reference(workdir: str, epochs: int) -> dict:
     # reference imports models/ relative to its own tree
     env["PYTHONPATH"] = REFERENCE
     env["MPLBACKEND"] = "Agg"
+    cmd = [sys.executable, os.path.join(REFERENCE, "main.py"), "train",
+           "--epochs", str(epochs), "--model_name", model_name]
+    run_name = f"{model_name}_brand"
+    if use_pretrained:
+        cmd.append("--use_pretrained_emb")
+        run_name += "_pretrained"
     subprocess.run(
-        [sys.executable, os.path.join(REFERENCE, "main.py"), "train",
-         "--epochs", str(epochs)],
+        cmd,
         cwd=workdir,
         env=env,
         check=True,
@@ -65,7 +72,7 @@ def run_reference(workdir: str, epochs: int) -> dict:
     import pandas as pd
 
     csv = os.path.join(
-        workdir, "exp/results/results/LightGCN_brand_epoch_history.csv"
+        workdir, f"exp/results/results/{run_name}_epoch_history.csv"
     )
     df = pd.read_csv(csv)
     best = df.loc[df["recall"].idxmax()]
@@ -77,7 +84,8 @@ def run_reference(workdir: str, epochs: int) -> dict:
     }
 
 
-def run_ours(workdir: str, data_dir: str, epochs: int) -> dict:
+def run_ours(workdir: str, data_dir: str, epochs: int, model_name="LightGCN",
+             use_pretrained=False) -> dict:
     from gcn_recommendation_tpu.config import Config
     from gcn_recommendation_tpu.data.loader import load_preprocessed_data
     from gcn_recommendation_tpu.models import get_model
@@ -87,13 +95,21 @@ def run_ours(workdir: str, data_dir: str, epochs: int) -> dict:
 
     cfg = Config(
         epochs=epochs,
+        model_name=model_name,
+        use_pretrained_emb=use_pretrained,
         processed_data_dir=data_dir,
         checkpoint_dir=os.path.join(workdir, "ours", "ckpt"),
         results_dir=os.path.join(workdir, "ours", "results"),
     )
     bundle = load_preprocessed_data(data_dir, use_brand=True, verbose=False)
-    model = get_model("LightGCN")(
-        bundle.num_users, bundle.num_items, bundle.num_brands, cfg
+    pretrained = None
+    if use_pretrained or model_name == "LightGCN_Fusion":
+        import numpy as np
+
+        pretrained = np.load(os.path.join(data_dir, "item_embeddings.npy"))
+    model = get_model(model_name)(
+        bundle.num_users, bundle.num_items, bundle.num_brands, cfg,
+        pretrained_item_emb=pretrained,
     )
     logger = Logger(cfg.results_dir, cfg.logger_name(), top_k=cfg.top_k)
     trainer = Trainer(cfg, model, bundle, logger=logger)
@@ -112,6 +128,9 @@ def run_ours(workdir: str, data_dir: str, epochs: int) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--model", type=str, default="LightGCN",
+                    choices=["LightGCN", "LightGCN_Fusion"])
+    ap.add_argument("--use_pretrained_emb", action="store_true")
     ap.add_argument("--core", type=int, default=16)
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--tol", type=float, default=0.15,
@@ -123,14 +142,18 @@ def main():
 
     workdir = tempfile.mkdtemp(prefix="parity_")
     try:
-        data_dir = generate(workdir, args.core, args.seed)
+        need_emb = args.use_pretrained_emb or args.model == "LightGCN_Fusion"
+        data_dir = generate(
+            workdir, args.core, args.seed,
+            embedding_dim=64 if need_emb else None,
+        )
         print(f"dataset at {data_dir}")
         print("running reference (torch CPU)...", flush=True)
-        ref = run_reference(workdir, args.epochs)
+        ref = run_reference(workdir, args.epochs, args.model, args.use_pretrained_emb)
         print(f"  reference best recall={ref['best_recall']:.4f} "
               f"ndcg={ref['best_ndcg']:.4f}")
         print("running gcn_recommendation_tpu...", flush=True)
-        ours = run_ours(workdir, data_dir, args.epochs)
+        ours = run_ours(workdir, data_dir, args.epochs, args.model, args.use_pretrained_emb)
         print(f"  ours      best recall={ours['best_recall']:.4f} "
               f"ndcg={ours['best_ndcg']:.4f}")
 
