@@ -113,7 +113,6 @@ def bench_jax(bundle):
     )
     from gcn_recommendation_tpu.ops.topk import masked_topk_scores
 
-    import functools
 
     @jax.jit
     def eval_scan(fu, fi, users):

@@ -26,7 +26,7 @@ no analogue here; both are intentionally unsupported.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

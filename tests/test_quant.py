@@ -1,9 +1,7 @@
 """Quantized retrieval tests (Pallas kernel in interpreter mode on CPU)."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from gcn_recommendation_tpu.ops.quant import (
     ROW_BLOCK,
