@@ -86,7 +86,7 @@ def _first_row_per_user_split(
 
 def compute_graph_stats(
     train: Interactions,
-    item_brand: Interactions,
+    item_brand: "ItemBrand",
     num_users: int,
     num_items: int,
     num_brands: int,

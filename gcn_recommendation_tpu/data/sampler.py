@@ -148,6 +148,8 @@ def epoch_batches(key: jax.Array, n: int, batch_size: int) -> jax.Array:
     """
     steps = max(1, -(-n // batch_size))
     perm = jax.random.permutation(key, n)
-    pad = steps * batch_size - n
-    idx = jnp.concatenate([perm, perm[:pad]]) if pad else perm
+    total = steps * batch_size
+    # tile-and-trim handles datasets smaller than one batch too
+    reps = -(-total // n)
+    idx = jnp.tile(perm, reps)[:total] if total != n else perm
     return idx.reshape(steps, batch_size)

@@ -71,3 +71,10 @@ def test_epoch_batches_shuffles_between_keys():
     a = np.asarray(epoch_batches(jax.random.PRNGKey(0), 64, 8))
     b = np.asarray(epoch_batches(jax.random.PRNGKey(1), 64, 8))
     assert (a != b).any()
+
+
+def test_epoch_batches_dataset_smaller_than_batch():
+    # n < batch_size must tile the permutation, not crash
+    idx = np.asarray(epoch_batches(jax.random.PRNGKey(0), 50, 128))
+    assert idx.shape == (1, 128)
+    np.testing.assert_array_equal(np.unique(idx), np.arange(50))
