@@ -72,6 +72,19 @@ class Logger:
         df.to_csv(csv_path, index=False)
         print(f"Epoch-level history saved to '{csv_path}'")
 
+        if self.throughput:
+            # separate file: the epoch-history schema must stay byte-
+            # compatible with the reference (epoch,avg_loss,recall,ndcg)
+            tp_path = os.path.join(
+                self.results_dir, f"{self.model_name}_throughput.csv"
+            )
+            pd.DataFrame(
+                {
+                    "epoch": range(1, len(self.throughput) + 1),
+                    "examples_per_sec": self.throughput,
+                }
+            ).to_csv(tp_path, index=False)
+
         try:
             import matplotlib
 
