@@ -37,6 +37,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def binary_search_iters(user_ptr: np.ndarray) -> int:
+    """Iterations needed for the per-user lower-bound search: ceil(log2(max degree))+1."""
+    if len(user_ptr) < 2:
+        return 1
+    max_deg = int(np.max(user_ptr[1:] - user_ptr[:-1]))
+    return max(1, int(np.ceil(np.log2(max(max_deg, 2)))) + 1)
+
+
 def membership_arrays(
     user_idx: np.ndarray, item_idx: np.ndarray, num_users: int
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -123,8 +131,7 @@ def make_negative_sampler(
     """
     user_ptr_d = jnp.asarray(user_ptr)
     flat_items_d = jnp.asarray(flat_items)
-    max_deg = int(np.max(user_ptr[1:] - user_ptr[:-1])) if len(flat_items) else 1
-    n_iters = max(1, int(np.ceil(np.log2(max(max_deg, 2)))) + 1)
+    n_iters = binary_search_iters(user_ptr) if len(flat_items) else 1
 
     def sample(key: jax.Array, users: jax.Array) -> jax.Array:
         return sample_negatives(

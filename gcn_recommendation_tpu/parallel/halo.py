@@ -239,6 +239,7 @@ class HaloTrainer:
         import optax
 
         from gcn_recommendation_tpu.data.sampler import (
+            binary_search_iters,
             epoch_batches,
             membership_arrays,
             sample_negatives,
@@ -256,8 +257,7 @@ class HaloTrainer:
         user_ptr, flat_items = membership_arrays(
             bundle.train.user_idx, bundle.train.item_idx, bundle.num_users
         )
-        max_deg = int(np.max(user_ptr[1:] - user_ptr[:-1])) if len(flat_items) else 1
-        n_iters = max(1, int(np.ceil(np.log2(max(max_deg, 2)))) + 1)
+        n_iters = binary_search_iters(user_ptr)
         self.tx = optax.adam(config.learning_rate)
         self.n_train = len(bundle.train)
         steps = max(1, -(-self.n_train // config.batch_size))

@@ -39,6 +39,7 @@ import optax
 
 from gcn_recommendation_tpu.data.loader import DataBundle
 from gcn_recommendation_tpu.data.sampler import (
+    binary_search_iters,
     epoch_batches,
     membership_arrays,
     sample_negatives,
@@ -71,8 +72,7 @@ class Trainer:
         user_ptr, flat_items = membership_arrays(
             bundle.train.user_idx, bundle.train.item_idx, bundle.num_users
         )
-        max_deg = int(np.max(user_ptr[1:] - user_ptr[:-1])) if len(flat_items) else 1
-        self.sampler_iters = max(1, int(np.ceil(np.log2(max(max_deg, 2)))) + 1)
+        self.sampler_iters = binary_search_iters(user_ptr)
         self.arrays = TrainArrays(
             graph=to_device_graph(
                 bundle.graph,

@@ -100,3 +100,17 @@ def test_distributed_helpers_single_host():
     assert initialize() is False  # single host, no-op
     spec = auto_mesh_spec()
     assert spec.data * spec.model == len(jax.devices())
+
+
+def test_logger_writes_throughput_csv(tmp_path):
+    lg = Logger(str(tmp_path), "TP", top_k=20)
+    lg.log_batch_loss(0.4)
+    lg.log_epoch_metrics(1, 0.4, 0.1, 0.05)
+    lg.log_throughput(1000.0)
+    lg.log_throughput(1200.0)
+    lg.save(total_epochs=2)
+    import pandas as pd
+
+    df = pd.read_csv(tmp_path / "TP_throughput.csv")
+    assert list(df.columns) == ["epoch", "examples_per_sec"]
+    assert len(df) == 2
