@@ -41,7 +41,7 @@ DIM = 64
 LAYERS = 3
 SCAN_STEPS = 60      # steps per timed dispatch
 TIMED_REPS = 3
-TORCH_STEPS = 3
+TORCH_STEPS = 5
 
 
 def build_bundle():
@@ -152,12 +152,13 @@ def bench_torch_reference(bundle):
     rng = np.random.default_rng(0)
     nu, ni = bundle.num_users, bundle.num_items
 
-    t0 = time.perf_counter()
-    for s in range(TORCH_STEPS):
+    step_times = []
+    for s in range(TORCH_STEPS + 1):  # first step warms allocator/caches
         b = rng.integers(0, len(bundle.train), BATCH)
         users = torch.tensor(bundle.train.user_idx[b].astype(np.int64))
         pos = torch.tensor(bundle.train.item_idx[b].astype(np.int64)) + nu
         neg = torch.tensor(rng.integers(0, ni, BATCH) + nu)
+        t0 = time.perf_counter()
         opt.zero_grad()
         e = emb
         acc = emb
@@ -170,8 +171,9 @@ def bench_torch_reference(bundle):
         reg = 1e-4 * (emb[users].norm(2).pow(2) + emb[pos].norm(2).pow(2) + emb[neg].norm(2).pow(2)) / BATCH
         (bpr + reg).backward()
         opt.step()
-    dt = time.perf_counter() - t0
-    return TORCH_STEPS * BATCH / dt
+        step_times.append(time.perf_counter() - t0)
+    # median step after warmup — resilient to background-load noise
+    return BATCH / float(np.median(step_times[1:]))
 
 
 def main():
