@@ -327,3 +327,22 @@ class HaloTrainer:
         return self._run_epoch(
             params, opt_state, key, self.sharded.arrays, self._data
         )
+
+    def validate(self, params):
+        from gcn_recommendation_tpu.train.evaluate import evaluate_embeddings
+
+        fu, fi, *_ = self.model.apply_with_propagator(
+            params,
+            lambda e: self.propagator(e, self.sharded.arrays),
+            self.sharded.num_nodes_pad,
+        )
+        return evaluate_embeddings(
+            fu,
+            fi,
+            self.bundle.val,
+            self.bundle.train,
+            self.bundle.num_users,
+            self.bundle.num_items,
+            self.config.top_k,
+            self.config.eval_user_batch,
+        )

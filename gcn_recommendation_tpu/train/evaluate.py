@@ -38,10 +38,9 @@ def dedup_eval_users(eval_inter: Interactions) -> Tuple[np.ndarray, np.ndarray]:
     return users[pos], items[pos]
 
 
-def evaluate(
-    model,
-    params,
-    device_graph,
+def evaluate_embeddings(
+    fu,
+    fi,
     eval_inter: Interactions,
     filter_inter: Interactions,
     num_users: int,
@@ -49,23 +48,10 @@ def evaluate(
     k: int,
     batch_size: int = 1024,
 ) -> Tuple[float, float]:
-    """Recall@k / NDCG@k over the eval interactions.
-
-    ``filter_inter`` is the seen-set to mask: train for validation,
-    train+val for test (main.py:576).
-    """
+    """Recall@k / NDCG@k from precomputed final embeddings."""
     users, true_items = dedup_eval_users(eval_inter)
     if len(users) == 0:
         return 0.0, 0.0
-
-    # one propagation per eval (main.py:413), jitted with the graph as an
-    # argument (closure constants would bloat the compile payload); the
-    # jitted callable is cached on the model so repeated evals don't retrace
-    apply_jit = getattr(model, "_apply_jit", None)
-    if apply_jit is None:
-        apply_jit = jax.jit(model.apply)
-        model._apply_jit = apply_jit
-    fu, fi, _, _, _ = apply_jit(params, device_graph)
 
     # CSR view of the filter set for padded batch construction
     f_ptr, f_items = membership_arrays(
@@ -107,3 +93,32 @@ def evaluate(
         count += float(c)
 
     return recall_sum / count, ndcg_sum / count
+
+
+def evaluate(
+    model,
+    params,
+    device_graph,
+    eval_inter: Interactions,
+    filter_inter: Interactions,
+    num_users: int,
+    num_items: int,
+    k: int,
+    batch_size: int = 1024,
+) -> Tuple[float, float]:
+    """Recall@k / NDCG@k over the eval interactions.
+
+    ``filter_inter`` is the seen-set to mask: train for validation,
+    train+val for test (main.py:576).  One propagation per eval
+    (main.py:413), jitted with the graph as an argument (closure
+    constants would bloat the compile payload); the jitted callable is
+    cached on the model so repeated evals don't retrace.
+    """
+    apply_jit = getattr(model, "_apply_jit", None)
+    if apply_jit is None:
+        apply_jit = jax.jit(model.apply)
+        model._apply_jit = apply_jit
+    fu, fi, _, _, _ = apply_jit(params, device_graph)
+    return evaluate_embeddings(
+        fu, fi, eval_inter, filter_inter, num_users, num_items, k, batch_size
+    )

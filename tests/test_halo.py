@@ -116,3 +116,25 @@ def test_halo_trainer_matches_single_device(tiny_bundle, tmp_path):
         np.testing.assert_allclose(
             np.asarray(p1[k]), np.asarray(p2[k]), rtol=2e-4, atol=1e-6
         )
+
+
+def test_halo_trainer_validate(tiny_bundle, tmp_path):
+    from gcn_recommendation_tpu.config import Config
+    from gcn_recommendation_tpu.models import get_model
+    from gcn_recommendation_tpu.parallel.halo import HaloTrainer
+    from gcn_recommendation_tpu.train.trainer import Trainer
+
+    bundle, _ = tiny_bundle
+    cfg = Config(embedding_dim=16, n_layers=2, epochs=1, batch_size=128,
+                 checkpoint_dir=str(tmp_path / "c"), results_dir=str(tmp_path / "r"))
+    model = get_model("LightGCN")(
+        bundle.num_users, bundle.num_items, bundle.num_brands, cfg
+    )
+    mesh = create_mesh(MeshSpec(data=1, model=4))
+    halo = HaloTrainer(cfg, model, bundle, mesh)
+    single = Trainer(cfg, model, bundle)
+    params, _ = single.init_state(jax.random.PRNGKey(0))
+    r1, n1 = single.validate(params)
+    r2, n2 = halo.validate(params)
+    np.testing.assert_allclose(r1, r2, rtol=1e-6)
+    np.testing.assert_allclose(n1, n2, rtol=1e-5)
