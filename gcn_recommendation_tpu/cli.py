@@ -75,6 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--num_brands", type=int, default=200)
     pr.add_argument("--mean_degree", type=float, default=25.0)
     pr.add_argument("--embedding_dim", type=int, default=None)
+    pr.add_argument("--style", type=str, default="popularity",
+                    choices=["popularity", "latent"],
+                    help="Synthetic data flavor (latent = learnable structure).")
     pr.add_argument("--seed", type=int, default=42)
     return p
 

@@ -356,6 +356,7 @@ def run_recipe(args) -> int:
             core=core,
             seed=args.seed,
             embedding_dim=args.embedding_dim,
+            style=getattr(args, "style", "popularity"),
         )
         print(f"Synthetic dataset written to {out}")
         return 0

@@ -21,6 +21,52 @@ from typing import Optional, Tuple
 import numpy as np
 
 
+def generate_interactions_latent(
+    rng: np.random.Generator,
+    num_users: int,
+    num_items: int,
+    mean_degree: float,
+    core: int,
+    latent_dim: int = 16,
+    temperature: float = 0.35,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Sample interactions from a latent-factor taste model.
+
+    Users/items get latent vectors; user u's items are a Gumbel-top-k
+    draw from softmax((u . v + popularity_bias) / temperature) — i.e.
+    sampling without replacement proportional to preference.  Unlike the
+    pure-popularity mode this has collaborative structure LightGCN can
+    actually learn, so training curves climb like on real review data.
+    """
+    lu = rng.standard_normal((num_users, latent_dim)) / np.sqrt(latent_dim)
+    lv = rng.standard_normal((num_items, latent_dim)) / np.sqrt(latent_dim)
+    pop = 0.5 * rng.standard_normal(num_items)  # popularity bias
+    deg = np.maximum(
+        core, rng.lognormal(np.log(mean_degree), 0.5, num_users)
+    ).astype(np.int64)
+    deg = np.minimum(deg, num_items)
+
+    users_out, items_out = [], []
+    chunk = max(1, 2_000_000 // num_items)
+    max_deg = int(deg.max())
+    for lo in range(0, num_users, chunk):
+        hi = min(lo + chunk, num_users)
+        scores = (lu[lo:hi] @ lv.T + pop[None, :]) / temperature
+        gumbel = -np.log(-np.log(rng.random(scores.shape) + 1e-12) + 1e-12)
+        keys = scores + gumbel
+        # top-max_deg per row, then trim to each user's degree
+        top = np.argpartition(-keys, max_deg - 1, axis=1)[:, :max_deg]
+        for r, u in enumerate(range(lo, hi)):
+            d = deg[u]
+            row = top[r]
+            order = np.argsort(-keys[r, row])[:d]
+            users_out.append(np.full(d, u, np.int64))
+            items_out.append(row[order].astype(np.int64))
+    users = np.concatenate(users_out)
+    items = np.concatenate(items_out)
+    return users.astype(np.int32), items.astype(np.int32)
+
+
 def generate_interactions(
     rng: np.random.Generator,
     num_users: int,
@@ -57,12 +103,18 @@ def generate_synthetic_dataset(
     core: int = 5,
     seed: int = 42,
     embedding_dim: Optional[int] = None,
+    style: str = "popularity",
 ) -> str:
-    """Write a synthetic processed dataset; returns the output dir."""
+    """Write a synthetic processed dataset; returns the output dir.
+
+    ``style``: 'popularity' (Zipf, fast) or 'latent' (latent-factor taste
+    model with learnable collaborative structure).
+    """
     import pandas as pd
 
     rng = np.random.default_rng(seed)
-    users, items = generate_interactions(rng, num_users, num_items, mean_degree, core)
+    gen = generate_interactions_latent if style == "latent" else generate_interactions
+    users, items = gen(rng, num_users, num_items, mean_degree, core)
 
     # keep only users with >= 3 interactions so every user survives the
     # leave-one-out test split plus the loader's val split
@@ -120,10 +172,12 @@ def synthetic_bundle(
     core: int = 4,
     seed: int = 0,
     use_brand: bool = True,
+    style: str = "popularity",
 ):
     """Build a DataBundle fully in memory (no parquet round-trip).
 
     Used by __graft_entry__ and bench.py where file I/O is noise.
+    ``style`` as in generate_synthetic_dataset.
     """
     from gcn_recommendation_tpu.data.loader import (
         DataBundle,
@@ -134,7 +188,8 @@ def synthetic_bundle(
     from gcn_recommendation_tpu.graph.build import build_normalized_adjacency
 
     rng = np.random.default_rng(seed)
-    users, items = generate_interactions(rng, num_users, num_items, mean_degree, core)
+    gen = generate_interactions_latent if style == "latent" else generate_interactions
+    users, items = gen(rng, num_users, num_items, mean_degree, core)
     counts = np.bincount(users, minlength=num_users)
     ok = counts[users] >= 3
     users, items = users[ok], items[ok]
