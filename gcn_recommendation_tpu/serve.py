@@ -1,0 +1,95 @@
+"""Retrieval serving: precomputed embeddings -> top-k recommendations.
+
+The reference has no serving path — retrieval exists only inside
+evaluate() (main.py:404-439).  This module packages the same scoring
+semantics behind a serving API:
+
+* one propagation at load time (embeddings are static between model
+  updates — main.py:413's "propagate once per eval" taken to its
+  conclusion);
+* ``recommend(user_ids, k)`` — masked full-catalog top-k per user batch,
+  with the user's train-seen items filtered exactly like evaluation;
+* optional int8 item table (``quantize=True``): 4x smaller catalog
+  footprint via the Pallas stochastic-rounding quantizer, scores on the
+  MXU int8 path (ops/quant.py; ~98% top-20 agreement with f32).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcn_recommendation_tpu.data.loader import DataBundle
+from gcn_recommendation_tpu.data.sampler import membership_arrays
+from gcn_recommendation_tpu.ops.quant import quantize_rows_int8, quantized_topk_scores
+from gcn_recommendation_tpu.ops.spmm import to_device_graph
+from gcn_recommendation_tpu.ops.topk import masked_topk_scores
+
+
+class Retriever:
+    """Top-k recommendation over a trained model's final embeddings."""
+
+    def __init__(
+        self,
+        user_emb: jax.Array,
+        item_emb: jax.Array,
+        bundle: DataBundle,
+        quantize: bool = False,
+    ):
+        self.user_emb = user_emb
+        self.num_items = int(item_emb.shape[0])
+        self.quantized = quantize
+        if quantize:
+            self.item_q, self.item_scale = quantize_rows_int8(item_emb)
+            self.item_emb = None
+        else:
+            self.item_emb = item_emb
+        # seen-item filter: the user's train interactions
+        f_ptr, f_items = membership_arrays(
+            bundle.train.user_idx, bundle.train.item_idx, bundle.num_users
+        )
+        self._f_ptr, self._f_items = f_ptr, f_items
+        self._deg = f_ptr[1:] - f_ptr[:-1]
+
+    @classmethod
+    def from_params(cls, model, params, bundle: DataBundle, quantize: bool = False):
+        """Propagate once and build a retriever from trained params."""
+        graph = to_device_graph(bundle.graph)
+        fu, fi, *_ = model.apply(params, graph)
+        return cls(fu, fi, bundle, quantize=quantize)
+
+    def _filter_batch(self, users: np.ndarray, filter_seen: bool) -> np.ndarray:
+        b = len(users)
+        if not filter_seen:
+            return np.full((b, 1), self.num_items, np.int32)
+        lens = self._deg[users]
+        fmax = max(1, int(lens.max()) if b else 1)
+        filt = np.full((b, fmax), self.num_items, np.int32)
+        if lens.sum():
+            rows = np.repeat(np.arange(b), lens)
+            offs = np.cumsum(lens) - lens
+            cols = np.arange(int(lens.sum())) - np.repeat(offs, lens)
+            flat = np.repeat(self._f_ptr[users], lens) + cols
+            filt[rows, cols] = self._f_items[flat]
+        return filt
+
+    def recommend(
+        self,
+        user_ids,
+        k: int = 20,
+        filter_seen: bool = True,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Return (scores, item_ids), each [len(user_ids), k]."""
+        users = np.asarray(user_ids, dtype=np.int32)
+        filt = jnp.asarray(self._filter_batch(users, filter_seen))
+        u = jnp.take(self.user_emb, jnp.asarray(users), axis=0)
+        if self.quantized:
+            vals, idx = quantized_topk_scores(
+                u, self.item_q, self.item_scale, filt, k
+            )
+        else:
+            vals, idx = masked_topk_scores(u, self.item_emb, filt, k)
+        return np.asarray(vals), np.asarray(idx)

@@ -1,0 +1,58 @@
+"""Serving Retriever tests."""
+
+import jax
+import numpy as np
+import pytest
+
+from gcn_recommendation_tpu.config import Config
+from gcn_recommendation_tpu.models import get_model
+from gcn_recommendation_tpu.serve import Retriever
+
+
+@pytest.fixture(scope="module")
+def retriever_setup(tiny_bundle):
+    bundle, _ = tiny_bundle
+    cfg = Config(embedding_dim=16, n_layers=2)
+    model = get_model("LightGCN")(
+        bundle.num_users, bundle.num_items, bundle.num_brands, cfg
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    return bundle, model, params
+
+
+def test_recommend_filters_seen_items(retriever_setup):
+    bundle, model, params = retriever_setup
+    r = Retriever.from_params(model, params, bundle)
+    users = np.unique(bundle.train.user_idx)[:8]
+    scores, items = r.recommend(users, k=10)
+    assert scores.shape == (8, 10) and items.shape == (8, 10)
+    seen = {}
+    for u, i in zip(bundle.train.user_idx, bundle.train.item_idx):
+        seen.setdefault(int(u), set()).add(int(i))
+    for j, u in enumerate(users):
+        assert not (set(items[j].tolist()) & seen.get(int(u), set()))
+
+
+def test_recommend_unfiltered_can_return_seen(retriever_setup):
+    bundle, model, params = retriever_setup
+    r = Retriever.from_params(model, params, bundle)
+    users = np.unique(bundle.train.user_idx)[:32]
+    _, items_f = r.recommend(users, k=10, filter_seen=True)
+    _, items_u = r.recommend(users, k=10, filter_seen=False)
+    assert (items_f != items_u).any()  # filtering changes results somewhere
+
+
+def test_quantized_retriever_agrees_with_f32(retriever_setup):
+    bundle, model, params = retriever_setup
+    rf = Retriever.from_params(model, params, bundle)
+    rq = Retriever.from_params(model, params, bundle, quantize=True)
+    users = np.unique(bundle.train.user_idx)[:32]
+    _, items_f = rf.recommend(users, k=20)
+    _, items_q = rq.recommend(users, k=20)
+    overlap = np.mean(
+        [
+            len(set(items_f[j]) & set(items_q[j])) / 20
+            for j in range(len(users))
+        ]
+    )
+    assert overlap > 0.85, overlap
