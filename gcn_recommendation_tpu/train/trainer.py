@@ -49,6 +49,7 @@ from gcn_recommendation_tpu.train.evaluate import evaluate
 from gcn_recommendation_tpu.train.loss import bpr_loss_reg
 from gcn_recommendation_tpu.utils import checkpoint as ckpt
 from gcn_recommendation_tpu.utils.logging import Logger
+from gcn_recommendation_tpu.utils.profiling import trace
 
 
 class TrainArrays(NamedTuple):
@@ -225,8 +226,9 @@ class Trainer:
         for epoch in range(start_epoch, cfg.epochs + 1):
             key, epoch_key = jax.random.split(key)
             t0 = time.perf_counter()
-            params, opt_state, losses = self._epoch_fn(params, opt_state, epoch_key)
-            losses = np.asarray(losses)
+            with trace(f"epoch_{epoch}"):
+                params, opt_state, losses = self._epoch_fn(params, opt_state, epoch_key)
+                losses = np.asarray(losses)
             dt = time.perf_counter() - t0
             avg_loss = float(losses.mean()) if len(losses) else 0.0
             if self.logger is not None:
