@@ -228,6 +228,13 @@ def _enable_compile_cache():
 
 
 def main(argv=None) -> int:
+    # CI/test hook: the axon TPU plugin ignores JAX_PLATFORMS, so honor an
+    # explicit override through the config API before backend init
+    forced = os.environ.get("GCN_TPU_FORCE_PLATFORM")
+    if forced:
+        import jax
+
+        jax.config.update("jax_platforms", forced)
     args = build_parser().parse_args(argv)
     _enable_compile_cache()
     np.random.seed(args.seed if hasattr(args, "seed") else 42)  # main.py:607

@@ -1,0 +1,56 @@
+"""True CLI integration: run the module entry point as a subprocess."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args):
+    # must run from the repo root (package is resolved via cwd);
+    # exp/ artifacts land there and are cleaned below
+    env = dict(os.environ)
+    env["GCN_TPU_FORCE_PLATFORM"] = "cpu"
+    env.pop("JAX_PLATFORMS", None)
+    return subprocess.run(
+        [sys.executable, "-m", "gcn_recommendation_tpu"] + args,
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+
+
+@pytest.mark.slow
+def test_cli_prepare_train_test_roundtrip(tmp_path):
+    import shutil
+
+    data = str(tmp_path / "data")
+    r = _run(
+        ["prepare", "--recipe", "synthetic", "--num_users", "300",
+         "--num_items", "200", "--num_brands", "20", "--core", "16",
+         "--style", "latent", "--output_dir", data],
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(os.path.join(data, "stats.json"))
+
+    try:
+        # epochs=5 -> one validation pass -> checkpoint written
+        r = _run(
+            ["train", "--processed_dir", data, "--epochs", "5",
+             "--batch_size", "256"],
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "Val Recall@20" in r.stdout
+
+        r = _run(["test", "--processed_dir", data])
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "Recall@20" in r.stdout
+    finally:
+        shutil.rmtree(os.path.join(REPO, "exp"), ignore_errors=True)
+        shutil.rmtree(os.path.join(REPO, "debug"), ignore_errors=True)
