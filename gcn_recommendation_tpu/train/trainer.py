@@ -258,6 +258,7 @@ class Trainer:
                 # enables crash recovery / resume
                 ckpt.save(ckpt_dir, "last", params, opt_state, epoch, best_recall, key)
 
+        ckpt.wait()  # flush any in-flight async checkpoint write
         if self.logger is not None:
             self.logger.save(total_epochs=cfg.epochs)
         return params, best_recall

@@ -31,17 +31,38 @@ def _state_dict(params, opt_state, epoch, best_recall, key):
     }
 
 
+_async_ckptr: Optional[ocp.AsyncCheckpointer] = None
+
+
+def _get_async_ckptr() -> ocp.AsyncCheckpointer:
+    global _async_ckptr
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _async_ckptr
+
+
 def save(ckpt_dir: str, tag: str, params, opt_state, epoch: int, best_recall: float, key) -> str:
+    """Asynchronous save — returns once the state is snapshotted; the
+    write overlaps with subsequent training (call :func:`wait` before
+    relying on the files, e.g. at process exit)."""
     path = os.path.abspath(os.path.join(ckpt_dir, tag))
     state = _state_dict(params, opt_state, epoch, best_recall, key)
-    with ocp.StandardCheckpointer() as ckptr:
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        ckptr.save(path, state)
+    ckptr = _get_async_ckptr()
+    ckptr.wait_until_finished()  # previous write must release the dir
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    ckptr.save(path, state)
     return path
 
 
+def wait() -> None:
+    """Block until any in-flight checkpoint write has finished."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
 def _restore(path: str, params_template, opt_state_template) -> Optional[Tuple]:
+    wait()  # a concurrent async write may still be materializing files
     if not os.path.exists(path):
         return None
     dummy_key = jax.random.PRNGKey(0)
