@@ -172,7 +172,7 @@ def _local_propagate(full_emb, bucket_nbr_idx, bucket_nbr_w, gather_idx, dense_m
 
 
 def make_halo_propagator(mesh: Mesh, sharded: ShardedEll, n_layers: int):
-    """Build ``fn(emb_pad [N_pad, d]) -> (final, layer0_passthrough)``.
+    """Build ``fn(emb_pad [N_pad, d]) -> final [N_pad, d]``.
 
     Computes the LightGCN layer mean ``mean(e0, A e0, ..., A^K e0)`` with
     the explicit all-gather-per-layer schedule.  Input and output are the
