@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--use_pretrained_emb", action="store_true",
                         help="Initialize item embeddings with pretrained text embeddings.")
         sp.add_argument("--seed", type=int, default=42)
+        sp.add_argument("--output_root", type=str, default=None,
+                        help="Root for exp/ outputs (checkpoints + results); "
+                             "default: current directory.")
         sp.add_argument("--debug_nans", action="store_true",
                         help="Enable jax_debug_nans (abort on NaN/Inf in any op).")
 
@@ -101,6 +104,13 @@ def _make_config(args):
         seed=args.seed,
         debug_nans=getattr(args, "debug_nans", False),
     )
+    if getattr(args, "output_root", None):
+        kwargs["checkpoint_dir"] = os.path.join(
+            args.output_root, "exp", "checkpoints", "checkpoints"
+        )
+        kwargs["results_dir"] = os.path.join(
+            args.output_root, "exp", "results", "results"
+        )
     if args.mode == "train":
         kwargs["epochs"] = args.epochs
         kwargs["brand_loss"] = args.brand_loss

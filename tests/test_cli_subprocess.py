@@ -28,8 +28,6 @@ def _run(args):
 
 @pytest.mark.slow
 def test_cli_prepare_train_test_roundtrip(tmp_path):
-    import shutil
-
     data = str(tmp_path / "data")
     r = _run(
         ["prepare", "--recipe", "synthetic", "--num_users", "300",
@@ -39,18 +37,18 @@ def test_cli_prepare_train_test_roundtrip(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(os.path.join(data, "stats.json"))
 
-    try:
-        # epochs=5 -> one validation pass -> checkpoint written
-        r = _run(
-            ["train", "--processed_dir", data, "--epochs", "5",
-             "--batch_size", "256"],
-        )
-        assert r.returncode == 0, r.stderr[-2000:]
-        assert "Val Recall@20" in r.stdout
+    out_root = str(tmp_path / "out")
+    # epochs=5 -> one validation pass -> checkpoint written; --output_root
+    # keeps all artifacts inside tmp_path (NEVER write to the shared
+    # repo-root exp/ from tests — it can race with live training runs)
+    r = _run(
+        ["train", "--processed_dir", data, "--epochs", "5",
+         "--batch_size", "256", "--output_root", out_root],
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Val Recall@20" in r.stdout
+    assert os.path.exists(os.path.join(out_root, "exp"))
 
-        r = _run(["test", "--processed_dir", data])
-        assert r.returncode == 0, r.stderr[-2000:]
-        assert "Recall@20" in r.stdout
-    finally:
-        shutil.rmtree(os.path.join(REPO, "exp"), ignore_errors=True)
-        shutil.rmtree(os.path.join(REPO, "debug"), ignore_errors=True)
+    r = _run(["test", "--processed_dir", data, "--output_root", out_root])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Recall@20" in r.stdout
