@@ -119,6 +119,22 @@ class ShardedTrainer(Trainer):
         opt_state = shard_params(opt_state, self.mesh)
         return params, opt_state
 
+    def validate(self, params):
+        if self.mesh.shape[MODEL_AXIS] <= 1:
+            return super().validate(params)
+        fu, fi, *_ = self.model.apply(params, self.arrays.graph)
+        return evaluate_sharded(
+            self.mesh,
+            fu,
+            fi,
+            self.bundle.val,
+            self.bundle.train,
+            self.bundle.num_users,
+            self.bundle.num_items,
+            self.config.top_k,
+            self.config.eval_user_batch,
+        )
+
 
 # ---------------------------------------------------------------------------
 # Distributed top-k (explicit shard_map)
@@ -198,3 +214,72 @@ def pad_rows(x: np.ndarray, multiple: int) -> np.ndarray:
         return x
     pad = np.zeros((target - n,) + x.shape[1:], dtype=x.dtype)
     return np.concatenate([x, pad], axis=0)
+
+
+def evaluate_sharded(
+    mesh: Mesh,
+    fu: jax.Array,          # [U, d] final user embeddings
+    fi: jax.Array,          # [I, d] final item embeddings
+    eval_inter,
+    filter_inter,
+    num_users: int,
+    num_items: int,
+    k: int,
+    batch_size: int = 1024,
+):
+    """Leave-one-out Recall/NDCG@k with the distributed top-k.
+
+    Same protocol as train.evaluate (main.py:404-439 semantics) but the
+    scoring runs through sharded_topk_eval_batch: items row-sharded over
+    the model axis, local top-k + all-gather merge.
+    """
+    from gcn_recommendation_tpu.data.sampler import membership_arrays
+    from gcn_recommendation_tpu.train.evaluate import dedup_eval_users
+
+    users, true_items = dedup_eval_users(eval_inter)
+    if len(users) == 0:
+        return 0.0, 0.0
+
+    n_model = mesh.shape[MODEL_AXIS]
+    items_pad = pad_rows(np.asarray(fi), n_model * 8)
+    i_pad = items_pad.shape[0]
+    # the zero pad rows must never win: mask them for every user
+    pad_ids = np.arange(num_items, i_pad, dtype=np.int32)
+    items_pad_d = jnp.asarray(items_pad)
+
+    f_ptr, f_items = membership_arrays(
+        filter_inter.user_idx, filter_inter.item_idx, num_users
+    )
+    deg = f_ptr[1:] - f_ptr[:-1]
+    fmax = max(1, int(deg[users].max())) if len(users) else 1
+    fwidth = fmax + len(pad_ids)
+
+    recall_sum = ndcg_sum = count = 0.0
+    for start in range(0, len(users), batch_size):
+        bu = users[start : start + batch_size]
+        bt = true_items[start : start + batch_size]
+        b = len(bu)
+        pad = batch_size - b
+        filt = np.full((batch_size, fwidth), i_pad, dtype=np.int32)
+        lens = deg[bu]
+        rows = np.repeat(np.arange(b), lens)
+        offs = np.cumsum(lens) - lens
+        cols = np.arange(int(lens.sum())) - np.repeat(offs, lens)
+        flat = np.repeat(f_ptr[bu], lens) + cols
+        filt[rows, cols] = f_items[flat]
+        filt[:, fmax:] = pad_ids[None, :]
+
+        bu_p = np.concatenate([bu, np.zeros(pad, np.int32)])
+        u_batch = jnp.take(fu, jnp.asarray(bu_p), axis=0)
+        _, idx = sharded_topk_eval_batch(
+            mesh, u_batch, items_pad_d, jnp.asarray(filt), k
+        )
+        idx = np.asarray(idx)[:b]
+        hit_matrix = idx == bt[:, None]
+        hit = hit_matrix.any(axis=1)
+        pos = hit_matrix.argmax(axis=1)
+        recall_sum += float(hit.sum())
+        ndcg_sum += float(np.where(hit, 1.0 / np.log2(pos + 2.0), 0.0).sum())
+        count += b
+
+    return recall_sum / count, ndcg_sum / count

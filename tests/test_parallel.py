@@ -101,3 +101,12 @@ def test_sharded_validate_runs(sharded_pair):
     recall, ndcg = sharded.validate(params)
     assert 0.0 <= recall <= 1.0
     assert 0.0 <= ndcg <= 1.0
+
+
+def test_sharded_validate_matches_single_device(sharded_pair):
+    single, sharded = sharded_pair
+    params, _ = single.init_state(jax.random.PRNGKey(0))
+    r1, n1 = single.validate(params)
+    r2, n2 = sharded.validate(params)  # distributed top-k path
+    np.testing.assert_allclose(r1, r2, rtol=1e-6)
+    np.testing.assert_allclose(n1, n2, rtol=1e-5)
