@@ -44,7 +44,11 @@ class LightGCN_Fusion(LightGCN):
         # init — Fusion keeps a random ID table (lightgcn_fusion.py:21).
         super().__init__(num_users, num_items, num_brands, config, None)
         self.content_dim = int(pretrained_item_emb.shape[1])
-        self.item_content_emb = jnp.asarray(pretrained_item_emb, dtype=jnp.float32)
+        # kept on host; becomes a FROZEN params entry at init() so it flows
+        # through jit as an argument, never a closure constant (PERF.md) —
+        # like the reference's registered buffer it also lands in
+        # checkpoints (lightgcn_fusion.py:25)
+        self._content_np = np.asarray(pretrained_item_emb, dtype=np.float32)
 
     def init(self, key: jax.Array) -> dict:
         ku, ki, kb, kw = jax.random.split(key, 4)
@@ -66,6 +70,9 @@ class LightGCN_Fusion(LightGCN):
                 minval=-1.0 / np.sqrt(fan_in),
                 maxval=1.0 / np.sqrt(fan_in),
             ),
+            # frozen content matrix: gradients stopped in _initial_block, so
+            # Adam's update is exactly zero and the values never change
+            "item_content_embedding": jnp.asarray(self._content_np),
         }
 
     def _initial_block(self, params):
@@ -74,7 +81,7 @@ class LightGCN_Fusion(LightGCN):
         combined = jnp.concatenate(
             [
                 params["item_embedding"],
-                jax.lax.stop_gradient(self.item_content_emb).astype(
+                jax.lax.stop_gradient(params["item_content_embedding"]).astype(
                     params["item_embedding"].dtype
                 ),
             ],
