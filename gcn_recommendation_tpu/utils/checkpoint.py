@@ -42,11 +42,15 @@ def _get_async_ckptr() -> ocp.AsyncCheckpointer:
 
 
 def save(ckpt_dir: str, tag: str, params, opt_state, epoch: int, best_recall: float, key) -> str:
-    """Asynchronous save — returns once the state is snapshotted; the
-    write overlaps with subsequent training (call :func:`wait` before
-    relying on the files, e.g. at process exit)."""
+    """Asynchronous save: the device->host fetch happens HERE, on the
+    caller's thread, and only the file write runs in the background.
+    (Letting the Orbax background thread touch device arrays races the
+    axon/TPU client with concurrent training dispatches — observed as a
+    wedged training loop.)  Call :func:`wait` before relying on the
+    files, e.g. at process exit."""
     path = os.path.abspath(os.path.join(ckpt_dir, tag))
     state = _state_dict(params, opt_state, epoch, best_recall, key)
+    state = jax.device_get(state)  # synchronous snapshot to host numpy
     ckptr = _get_async_ckptr()
     ckptr.wait_until_finished()  # previous write must release the dir
     if os.path.exists(path):
