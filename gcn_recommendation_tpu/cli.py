@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "default: current directory.")
         sp.add_argument("--debug_nans", action="store_true",
                         help="Enable jax_debug_nans (abort on NaN/Inf in any op).")
+        sp.add_argument("--compute_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="Propagation storage dtype; bfloat16 halves the "
+                             "propagated block's HBM footprint (f32 accumulate, "
+                             "see PERF.md for measured accuracy impact).")
 
     tr = sub.add_parser("train", help="Train a model.")
     add_common(tr)
@@ -103,6 +108,7 @@ def _make_config(args):
         use_pretrained_emb=args.use_pretrained_emb,
         seed=args.seed,
         debug_nans=getattr(args, "debug_nans", False),
+        compute_dtype=getattr(args, "compute_dtype", "float32"),
     )
     if getattr(args, "output_root", None):
         kwargs["checkpoint_dir"] = os.path.join(

@@ -59,6 +59,12 @@ class LightGCN:
         self.embedding_dim = config.embedding_dim
         self.n_layers = config.n_layers
         self.param_dtype = jnp.dtype(getattr(config, "param_dtype", "float32"))
+        # propagation storage dtype: bf16 halves the HBM footprint of the
+        # propagated block and the gathered rows (gather rate is dtype-flat,
+        # so this buys capacity headroom, not speed — PERF.md); reductions
+        # still accumulate in f32 (ops/spmm.py) and the layer mean / loss /
+        # optimizer stay f32
+        self.compute_dtype = jnp.dtype(getattr(config, "compute_dtype", "float32"))
         self.prop_path = "ell"
         if pretrained_item_emb is not None:
             # dim check mirrors lightgcn.py:21-22
@@ -107,11 +113,14 @@ class LightGCN:
         """
         num_nodes = self.num_users + self.num_items + self.num_brands
         ego = self._initial_block(params)
-        acc = ego
+        # bf16 storage mode: propagate in compute_dtype, accumulate the
+        # layer mean in f32 (exact no-op when compute_dtype == f32)
+        acc = ego.astype(jnp.float32)
+        x = ego.astype(self.compute_dtype)
         for _ in range(self.n_layers):
-            ego = propagate(ego, graph, num_nodes, path=self.prop_path)
-            acc = acc + ego
-        final = acc / jnp.asarray(self.n_layers + 1, dtype=acc.dtype)
+            x = propagate(x, graph, num_nodes, path=self.prop_path)
+            acc = acc + x.astype(jnp.float32)
+        final = (acc / (self.n_layers + 1)).astype(ego.dtype)
         fu = final[: self.num_users]
         fi = final[self.num_users : self.num_users + self.num_items]
         fb = final[self.num_users + self.num_items :]

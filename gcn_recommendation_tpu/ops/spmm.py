@@ -85,7 +85,14 @@ def _ell_matvec(emb, bucket_nbr_idx, bucket_nbr_w, gather_idx, dense_mat):
     parts = []
     for idx, w in zip(bucket_nbr_idx, bucket_nbr_w):
         gathered = jnp.take(emb, idx, axis=0)          # [nb, width, d]
-        parts.append(jnp.sum(gathered * w[..., None], axis=1))
+        # accumulate in f32 even when emb/w are bf16 (bf16 storage mode):
+        # the reduction runs up to width-2048, where bf16 accumulation
+        # loses ~2 decimal digits; f32 accumulators are free on the VPU
+        parts.append(
+            jnp.sum(gathered * w[..., None], axis=1, dtype=jnp.float32).astype(
+                emb.dtype
+            )
+        )
     if dense_mat.shape[0]:
         # hub rows: one dense MXU matmul replaces the power-law gather tail
         parts.append(

@@ -117,3 +117,32 @@ def test_xavier_init_statistics():
     bound = np.sqrt(6.0 / (4000 + 64))
     assert float(jnp.max(jnp.abs(w))) <= bound + 1e-6
     assert float(jnp.std(w)) == pytest.approx(bound / np.sqrt(3), rel=0.05)
+
+
+def test_lightgcn_bf16_compute_mode(small_setup):
+    """bf16 storage / f32 accumulate: f32 outputs, close to the f32 path,
+    finite gradients (ROADMAP bf16 mode; ops/spmm.py f32 accumulators)."""
+    import dataclasses
+
+    g, dense, cfg, (nu, ni, nb) = small_setup
+    cfg16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    model = get_model("LightGCN")(nu, ni, nb, cfg16)
+    params = model.init(jax.random.PRNGKey(0))
+
+    dg16 = to_device_graph(g, compute_dtype=jnp.bfloat16)
+    fu16, fi16, fb16, *_ = model.apply(params, dg16)
+    assert fu16.dtype == jnp.float32  # outputs stay f32 for loss/top-k
+
+    model32 = get_model("LightGCN")(nu, ni, nb, cfg)
+    fu32, fi32, *_ = model32.apply(params, to_device_graph(g))
+    scale = float(jnp.max(jnp.abs(fu32)))
+    assert float(jnp.max(jnp.abs(fu16 - fu32))) < 2e-2 * scale
+
+    def loss(p):
+        fu, fi, *_ = model.apply(p, dg16)
+        return jnp.sum(fu**2) + jnp.sum(fi**2)
+
+    grads = jax.grad(loss)(params)
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert bool(jnp.isfinite(leaf).all())
+        assert leaf.dtype == jnp.float32  # param grads stay f32 for Adam
