@@ -9,7 +9,7 @@ from gcn_recommendation_tpu.ops.quant import (
     quantize_rows_int8,
     quantized_topk_scores,
 )
-from gcn_recommendation_tpu.ops.topk import masked_topk_scores, topk_eval_batch
+from gcn_recommendation_tpu.ops.topk import masked_topk, masked_topk_scores, topk_eval_batch
 
 __all__ = [
     "DeviceGraph",
@@ -17,6 +17,7 @@ __all__ = [
     "propagate_coo",
     "propagate_ell",
     "to_device_graph",
+    "masked_topk",
     "masked_topk_scores",
     "topk_eval_batch",
     "quantize_rows_int8",

@@ -27,7 +27,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from gcn_recommendation_tpu.ops.topk import MASK_VALUE
+from gcn_recommendation_tpu.ops.topk import masked_topk
 
 ROW_BLOCK = 256
 
@@ -141,7 +141,4 @@ def quantized_topk_scores(
         preferred_element_type=jnp.int32,
     )
     scores = s32.astype(jnp.float32) * u_scale * item_scale[:, 0][None, :]
-    b = user_emb_batch.shape[0]
-    rows = jnp.arange(b, dtype=filter_idx.dtype)[:, None]
-    scores = scores.at[rows, filter_idx].set(MASK_VALUE, mode="drop")
-    return jax.lax.top_k(scores, k)
+    return masked_topk(scores, filter_idx, k)

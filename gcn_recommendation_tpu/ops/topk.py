@@ -7,8 +7,9 @@ host-side Python loop, then torch.topk (main.py:415-426).
 TPU-native version: everything fused under one jit —
 
 * scores = U_batch @ I^T on the MXU;
-* masking is a single batched scatter with padded per-user filter lists
-  (pad index = num_items, dropped as out-of-bounds — no host loop);
+* masking uses padded per-user filter lists (pad index = num_items) with
+  an adaptive strategy — fused comparison masking for small filter widths
+  (no scatter at all), batched scatter for wide ones (see ``masked_topk``);
 * ``jax.lax.top_k`` on device;
 * hit / NDCG@k reduction on device (main.py:430-438 semantics:
   recall = hit indicator, ndcg = 1/log2(pos+2) if hit else 0).
@@ -26,21 +27,69 @@ import jax.numpy as jnp
 
 MASK_VALUE = -1e10  # main.py:424
 
+# Max filter width for the comparison masking path (see masked_topk).
+# Tuned on TPU v5e with tools/exp_topk_mask.py: compare wins up to F=32
+# measured (1.04 vs 1.82 ms at F=8, 1.27 vs 1.45 at F=32 per 1024x20k
+# batch), scatter wins at F=128 (1.99 vs 6.16 ms); crossover ~64.
+COMPARE_MAX_F = 64
+
+
+def masked_topk(scores: jax.Array, filter_idx: jax.Array, k: int, *, strategy: str = "auto"):
+    """Top-k of ``scores`` [B, N] with per-row ``filter_idx`` entries
+    masked to MASK_VALUE.  Pad filter slots with N (out of range).
+
+    Three exact-equivalent strategies (measured in
+    tools/exp_topk_mask.py; timings per 1024x20k batch, k=20):
+
+    * ``compare`` — ``seen[b, i] = any_f(filter[b, f] == i)`` fused into
+      the mask select; O(B*F*N) VPU compares but *no scatter*.  Fastest
+      for small F (1.04 ms at F=8 vs 0.75 ms unmasked).
+    * ``scatter`` — mask the score matrix with one batched scatter.
+      XLA scatters serialize per element (~F per row), but the cost is
+      independent of N; wins for wide filter lists (1.99 ms at F=128).
+    * ``fixup`` — top-k of the *raw* scores widened to k+F, mark seen
+      entries in the short list by comparison, re-top-k.  Exact
+      (removing <= F seen from the top k+F leaves >= k unseen; the
+      second top_k breaks ties by position in the first list, which is
+      value/index ordered exactly like full masking) — but
+      ``lax.top_k(k+F)`` is far costlier than ``top_k(k)`` on TPU
+      (2.75 ms already at F=8), so it never wins; kept for reference.
+
+    ``auto`` picks compare for F <= COMPARE_MAX_F, scatter otherwise.
+    """
+    b, n = scores.shape
+    f = filter_idx.shape[1]
+    if strategy == "auto":
+        strategy = "compare" if f <= COMPARE_MAX_F else "scatter"
+    if strategy == "scatter":
+        rows = jnp.arange(b, dtype=filter_idx.dtype)[:, None]
+        scores = scores.at[rows, filter_idx].set(MASK_VALUE, mode="drop")
+        return jax.lax.top_k(scores, k)
+    if strategy == "compare":
+        iota = jnp.arange(n, dtype=filter_idx.dtype)
+        seen = jnp.any(filter_idx[:, :, None] == iota[None, None, :], axis=1)
+        return jax.lax.top_k(jnp.where(seen, MASK_VALUE, scores), k)
+    assert strategy == "fixup", strategy
+    vals, idx = jax.lax.top_k(scores, k + f)
+    seen = jnp.any(idx[:, :, None] == filter_idx[:, None, :], axis=-1)
+    vals = jnp.where(seen, MASK_VALUE, vals)
+    vals2, order = jax.lax.top_k(vals, k)
+    return vals2, jnp.take_along_axis(idx, order, axis=1)
+
 
 def masked_topk_scores(
     user_emb_batch: jax.Array,  # [B, d]
     item_emb: jax.Array,        # [I, d]
     filter_idx: jax.Array,      # [B, F] int32, padded with I (out of bounds)
     k: int,
+    *,
+    strategy: str = "auto",
 ):
     """Score a user batch against the catalog, mask seen items, top-k."""
     scores = jnp.dot(
         user_emb_batch, item_emb.T, preferred_element_type=jnp.float32
     )
-    b = user_emb_batch.shape[0]
-    rows = jnp.arange(b, dtype=filter_idx.dtype)[:, None]
-    scores = scores.at[rows, filter_idx].set(MASK_VALUE, mode="drop")
-    return jax.lax.top_k(scores, k)
+    return masked_topk(scores, filter_idx, k, strategy=strategy)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -35,7 +35,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gcn_recommendation_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
 from gcn_recommendation_tpu.ops.spmm import DeviceGraph
-from gcn_recommendation_tpu.ops.topk import MASK_VALUE
+from gcn_recommendation_tpu.ops.topk import masked_topk
 from gcn_recommendation_tpu.train.trainer import Trainer
 
 
@@ -145,18 +145,15 @@ def _local_masked_topk(u_emb, item_shard, filter_idx, k, shard_items, axis):
     idx = jax.lax.axis_index(axis)
     offset = idx * shard_items
     scores = jnp.dot(u_emb, item_shard.T, preferred_element_type=jnp.float32)
-    b = u_emb.shape[0]
-    rows = jnp.arange(b)[:, None]
     # translate global filter ids into this shard's local range; out-of-range
-    # ids fall outside [0, shard_items) and are dropped by scatter mode
+    # ids map to shard_items (the pad index masked_topk ignores)
     local_filter = filter_idx - offset
     local_filter = jnp.where(
         (filter_idx >= offset) & (filter_idx < offset + shard_items),
         local_filter,
         shard_items,  # out-of-bounds -> dropped
     )
-    scores = scores.at[rows, local_filter].set(MASK_VALUE, mode="drop")
-    vals, loc = jax.lax.top_k(scores, k)
+    vals, loc = masked_topk(scores, local_filter, k)
     return vals, loc + offset
 
 

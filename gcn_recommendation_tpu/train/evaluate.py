@@ -23,7 +23,7 @@ import numpy as np
 
 from gcn_recommendation_tpu.data.loader import Interactions
 from gcn_recommendation_tpu.data.sampler import membership_arrays
-from gcn_recommendation_tpu.ops.topk import topk_eval_batch
+from gcn_recommendation_tpu.ops.topk import COMPARE_MAX_F, topk_eval_batch
 
 
 def dedup_eval_users(eval_inter: Interactions) -> Tuple[np.ndarray, np.ndarray]:
@@ -58,39 +58,51 @@ def evaluate_embeddings(
         filter_inter.user_idx, filter_inter.item_idx, num_users
     )
     deg = f_ptr[1:] - f_ptr[:-1]
-    fmax = max(1, int(deg[users].max())) if len(users) else 1
+
+    # Two-tier batching by filter-list width: users whose seen-set fits
+    # COMPARE_MAX_F get narrow filter arrays (and the scatter-free
+    # comparison masking path in ops/topk.py); the power-law tail of
+    # heavy users goes through wide batches with scatter masking.  The
+    # metric is a mean over users, so regrouping doesn't change it.
+    narrow = deg[users] <= COMPARE_MAX_F
+    tiers = [t for t in (
+        (users[narrow], true_items[narrow]),
+        (users[~narrow], true_items[~narrow]),
+    ) if len(t[0])]
 
     recall_sum = ndcg_sum = count = 0.0
-    for start in range(0, len(users), batch_size):
-        bu = users[start : start + batch_size]
-        bt = true_items[start : start + batch_size]
-        b = len(bu)
-        pad = batch_size - b
-        # padded seen-item lists; pad index = num_items (dropped as OOB)
-        filt = np.full((batch_size, fmax), num_items, dtype=np.int32)
-        lens = deg[bu]
-        rows = np.repeat(np.arange(b), lens)
-        offs = np.cumsum(lens) - lens
-        cols = np.arange(int(lens.sum())) - np.repeat(offs, lens)
-        flat = np.repeat(f_ptr[bu], lens) + cols
-        filt[rows, cols] = f_items[flat]
+    for t_users, t_items in tiers:
+        fmax = max(1, int(deg[t_users].max()))
+        for start in range(0, len(t_users), batch_size):
+            bu = t_users[start : start + batch_size]
+            bt = t_items[start : start + batch_size]
+            b = len(bu)
+            pad = batch_size - b
+            # padded seen-item lists; pad index = num_items (dropped as OOB)
+            filt = np.full((batch_size, fmax), num_items, dtype=np.int32)
+            lens = deg[bu]
+            rows = np.repeat(np.arange(b), lens)
+            offs = np.cumsum(lens) - lens
+            cols = np.arange(int(lens.sum())) - np.repeat(offs, lens)
+            flat = np.repeat(f_ptr[bu], lens) + cols
+            filt[rows, cols] = f_items[flat]
 
-        bu_p = np.concatenate([bu, np.zeros(pad, np.int32)])
-        bt_p = np.concatenate([bt, np.zeros(pad, np.int32)])
-        valid = np.concatenate([np.ones(b, bool), np.zeros(pad, bool)])
+            bu_p = np.concatenate([bu, np.zeros(pad, np.int32)])
+            bt_p = np.concatenate([bt, np.zeros(pad, np.int32)])
+            valid = np.concatenate([np.ones(b, bool), np.zeros(pad, bool)])
 
-        r, n, c = topk_eval_batch(
-            fu,
-            fi,
-            jnp.asarray(bu_p),
-            jnp.asarray(bt_p),
-            jnp.asarray(filt),
-            jnp.asarray(valid),
-            k,
-        )
-        recall_sum += float(r)
-        ndcg_sum += float(n)
-        count += float(c)
+            r, n, c = topk_eval_batch(
+                fu,
+                fi,
+                jnp.asarray(bu_p),
+                jnp.asarray(bt_p),
+                jnp.asarray(filt),
+                jnp.asarray(valid),
+                k,
+            )
+            recall_sum += float(r)
+            ndcg_sum += float(n)
+            count += float(c)
 
     return recall_sum / count, ndcg_sum / count
 
