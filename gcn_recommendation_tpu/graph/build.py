@@ -180,7 +180,12 @@ def bucket_by_degree(
 
     # --- pick hubs for densification ---
     if dense_threshold is None:
-        dense_threshold = 512
+        # measured sweep (tools/exp_hub_threshold.py): 128 beats 512 by
+        # ~7% per propagation — XLA's [H, N] @ [N, d] matmul bandwidth
+        # rises with H (252 GB/s at H=384 -> 439 GB/s at H>=1024), so
+        # densifying deeper into the power-law tail removes gather rows
+        # at better-than-gather cost; max_dense_bytes still caps HBM.
+        dense_threshold = 128
     # respect the dense-memory budget: raise the threshold until H*N fits
     while True:
         hub_mask = deg > dense_threshold

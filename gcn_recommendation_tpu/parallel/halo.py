@@ -65,7 +65,7 @@ class ShardedEll:
         return self.n_shards * self.nodes_per_shard
 
 
-def shard_ell(graph: Graph, n_shards: int, dense_threshold: int = 512) -> ShardedEll:
+def shard_ell(graph: Graph, n_shards: int, dense_threshold: int = 128) -> ShardedEll:
     """Partition destination rows contiguously into ``n_shards`` shards.
 
     Each shard gets its own degree-bucketed ELL (+ dense hub rows) over a
