@@ -38,20 +38,28 @@ def dedup_eval_users(eval_inter: Interactions) -> Tuple[np.ndarray, np.ndarray]:
     return users[pos], items[pos]
 
 
-def evaluate_embeddings(
-    fu,
-    fi,
+def build_eval_batches(
     eval_inter: Interactions,
     filter_inter: Interactions,
     num_users: int,
     num_items: int,
-    k: int,
     batch_size: int = 1024,
-) -> Tuple[float, float]:
-    """Recall@k / NDCG@k from precomputed final embeddings."""
+):
+    """Device-resident padded eval batches [(users, true, filt, valid)].
+
+    Built once and reused across validations (the eval users and filter
+    set never change during a training run; rebuilding + re-uploading
+    the filter arrays every eval is pure host/transfer waste).
+
+    Two-tier batching by filter-list width: users whose seen-set fits
+    COMPARE_MAX_F get narrow filter arrays (and the scatter-free
+    comparison masking path in ops/topk.py); the power-law tail of
+    heavy users goes through wide batches with scatter masking.  The
+    metric is a mean over users, so regrouping doesn't change it.
+    """
     users, true_items = dedup_eval_users(eval_inter)
     if len(users) == 0:
-        return 0.0, 0.0
+        return []
 
     # CSR view of the filter set for padded batch construction
     f_ptr, f_items = membership_arrays(
@@ -59,18 +67,13 @@ def evaluate_embeddings(
     )
     deg = f_ptr[1:] - f_ptr[:-1]
 
-    # Two-tier batching by filter-list width: users whose seen-set fits
-    # COMPARE_MAX_F get narrow filter arrays (and the scatter-free
-    # comparison masking path in ops/topk.py); the power-law tail of
-    # heavy users goes through wide batches with scatter masking.  The
-    # metric is a mean over users, so regrouping doesn't change it.
     narrow = deg[users] <= COMPARE_MAX_F
     tiers = [t for t in (
         (users[narrow], true_items[narrow]),
         (users[~narrow], true_items[~narrow]),
     ) if len(t[0])]
 
-    recall_sum = ndcg_sum = count = 0.0
+    batches = []
     for t_users, t_items in tiers:
         fmax = max(1, int(deg[t_users].max()))
         for start in range(0, len(t_users), batch_size):
@@ -90,21 +93,45 @@ def evaluate_embeddings(
             bu_p = np.concatenate([bu, np.zeros(pad, np.int32)])
             bt_p = np.concatenate([bt, np.zeros(pad, np.int32)])
             valid = np.concatenate([np.ones(b, bool), np.zeros(pad, bool)])
-
-            r, n, c = topk_eval_batch(
-                fu,
-                fi,
-                jnp.asarray(bu_p),
-                jnp.asarray(bt_p),
-                jnp.asarray(filt),
-                jnp.asarray(valid),
-                k,
+            batches.append(
+                (
+                    jnp.asarray(bu_p),
+                    jnp.asarray(bt_p),
+                    jnp.asarray(filt),
+                    jnp.asarray(valid),
+                )
             )
-            recall_sum += float(r)
-            ndcg_sum += float(n)
-            count += float(c)
+    return batches
 
+
+def evaluate_batches(fu, fi, batches, k: int) -> Tuple[float, float]:
+    """Recall@k / NDCG@k over prebuilt device batches."""
+    recall_sum = ndcg_sum = count = 0.0
+    for bu, bt, filt, valid in batches:
+        r, n, c = topk_eval_batch(fu, fi, bu, bt, filt, valid, k)
+        recall_sum += float(r)
+        ndcg_sum += float(n)
+        count += float(c)
+    if count == 0:
+        return 0.0, 0.0
     return recall_sum / count, ndcg_sum / count
+
+
+def evaluate_embeddings(
+    fu,
+    fi,
+    eval_inter: Interactions,
+    filter_inter: Interactions,
+    num_users: int,
+    num_items: int,
+    k: int,
+    batch_size: int = 1024,
+) -> Tuple[float, float]:
+    """Recall@k / NDCG@k from precomputed final embeddings."""
+    batches = build_eval_batches(
+        eval_inter, filter_inter, num_users, num_items, batch_size
+    )
+    return evaluate_batches(fu, fi, batches, k)
 
 
 def evaluate(

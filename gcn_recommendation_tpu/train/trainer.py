@@ -45,7 +45,11 @@ from gcn_recommendation_tpu.data.sampler import (
     sample_negatives,
 )
 from gcn_recommendation_tpu.ops.spmm import DeviceGraph, to_device_graph
-from gcn_recommendation_tpu.train.evaluate import evaluate
+from gcn_recommendation_tpu.train.evaluate import (
+    build_eval_batches,
+    evaluate,
+    evaluate_batches,
+)
 from gcn_recommendation_tpu.train.loss import bpr_loss_reg
 from gcn_recommendation_tpu.utils import checkpoint as ckpt
 from gcn_recommendation_tpu.utils.logging import Logger
@@ -92,6 +96,7 @@ class Trainer:
         self.steps_per_epoch = min(10, steps) if config.debug else steps
 
         self._epoch_fn_jit = self._build_epoch_fn()
+        self._eval_batches = None  # built lazily, reused across validations
 
     # back-compat accessors -------------------------------------------------
     @property
@@ -188,17 +193,23 @@ class Trainer:
         return params, opt_state
 
     def validate(self, params):
-        return evaluate(
-            self.model,
-            params,
-            self.arrays.graph,
-            self.bundle.val,
-            self.bundle.train,
-            self.bundle.num_users,
-            self.bundle.num_items,
-            self.config.top_k,
-            self.config.eval_user_batch,
-        )
+        # the val users and train filter set are fixed for the whole run,
+        # so the padded device batches are built once and reused (the
+        # per-eval host rebuild + re-upload was pure waste)
+        apply_jit = getattr(self.model, "_apply_jit", None)
+        if apply_jit is None:
+            apply_jit = jax.jit(self.model.apply)
+            self.model._apply_jit = apply_jit
+        fu, fi, _, _, _ = apply_jit(params, self.arrays.graph)
+        if self._eval_batches is None:
+            self._eval_batches = build_eval_batches(
+                self.bundle.val,
+                self.bundle.train,
+                self.bundle.num_users,
+                self.bundle.num_items,
+                self.config.eval_user_batch,
+            )
+        return evaluate_batches(fu, fi, self._eval_batches, self.config.top_k)
 
     def fit(self, resume: bool = False):
         cfg = self.config
