@@ -329,20 +329,23 @@ class HaloTrainer:
         )
 
     def validate(self, params):
-        from gcn_recommendation_tpu.train.evaluate import evaluate_embeddings
+        from gcn_recommendation_tpu.train.evaluate import (
+            build_eval_batches,
+            evaluate_batches,
+        )
 
         fu, fi, *_ = self.model.apply_with_propagator(
             params,
             lambda e: self.propagator(e, self.sharded.arrays),
             self.sharded.num_nodes_pad,
         )
-        return evaluate_embeddings(
-            fu,
-            fi,
-            self.bundle.val,
-            self.bundle.train,
-            self.bundle.num_users,
-            self.bundle.num_items,
-            self.config.top_k,
-            self.config.eval_user_batch,
-        )
+        if getattr(self, "_eval_batches", None) is None:
+            # fixed val users + train filter set: build device batches once
+            self._eval_batches = build_eval_batches(
+                self.bundle.val,
+                self.bundle.train,
+                self.bundle.num_users,
+                self.bundle.num_items,
+                self.config.eval_user_batch,
+            )
+        return evaluate_batches(fu, fi, self._eval_batches, self.config.top_k)
