@@ -6,7 +6,8 @@ Mirrors the reference CLI (main.py:590-621):
 checkpoint-name encoding of main.py:613-615 — plus fixes the reference's
 hard-coded dataset dir (main.py:58) with ``--dataset`` / ``--data_root``
 / ``--processed_dir`` selectors and adds ``prepare`` (offline ETL,
-reproducing all five dataset recipes) and ``--resume``.
+reproducing all five dataset recipes), ``recommend`` (serving: masked
+top-k from a trained checkpoint, optional int8 catalog) and ``--resume``.
 
 Run as ``python -m gcn_recommendation_tpu.cli <mode> ...`` or via the
 package main (``python -m gcn_recommendation_tpu ...``).
@@ -68,6 +69,23 @@ def build_parser() -> argparse.ArgumentParser:
     add_common(te)
     te.add_argument("--model_path", type=str, default=None,
                     help="Path to checkpoint dir for testing.")
+
+    rc = sub.add_parser("recommend",
+                        help="Serve top-k recommendations from a trained checkpoint.")
+    add_common(rc)
+    rc.add_argument("--model_path", type=str, default=None,
+                    help="Path to checkpoint dir (default: the train-mode location).")
+    rc.add_argument("--users", type=str, default=None,
+                    help="Comma-separated user ids; default: a random sample.")
+    rc.add_argument("--num_sample", type=int, default=8,
+                    help="How many users to sample when --users is not given.")
+    rc.add_argument("--k", type=int, default=None,
+                    help="Top-k size (default: config top_k).")
+    rc.add_argument("--int8", action="store_true",
+                    help="Serve from the int8-quantized item catalog (Pallas "
+                         "stochastic-rounding quantizer; ~98%% top-20 agreement).")
+    rc.add_argument("--include_seen", action="store_true",
+                    help="Do not filter the user's train-seen items.")
 
     pr = sub.add_parser("prepare", help="Offline data preparation (ETL).")
     pr.add_argument("--recipe", type=str, required=True,
@@ -225,6 +243,55 @@ def run_test(args) -> int:
     return 0
 
 
+def run_recommend(args) -> int:
+    """Serving entry: checkpoint -> one propagation -> masked top-k.
+
+    No reference counterpart (retrieval only exists inside evaluate(),
+    main.py:404-439); this exposes serve.Retriever on the CLI.
+    """
+    import jax
+
+    from gcn_recommendation_tpu.serve import Retriever
+    from gcn_recommendation_tpu.utils import checkpoint as ckpt
+
+    config = _make_config(args)
+    bundle, model = _load_everything(config)
+    ckpt_dir = args.model_path or os.path.join(
+        config.checkpoint_dir, config.checkpoint_name()
+    )
+    params = model.init(jax.random.PRNGKey(config.seed))
+    import optax
+
+    opt_state = optax.adam(config.learning_rate).init(params)
+    restored = ckpt.load_best(ckpt_dir, params, opt_state)
+    if restored is None:
+        raise FileNotFoundError(f"Model checkpoint not found at '{ckpt_dir}'")
+    params = restored[0]
+    print(f"Model loaded from '{ckpt_dir}'")
+
+    retriever = Retriever.from_params(model, params, bundle, quantize=args.int8)
+    if args.users:
+        users = np.array([int(u) for u in args.users.split(",")], np.int32)
+        bad = users[(users < 0) | (users >= bundle.num_users)]
+        if len(bad):
+            raise ValueError(f"user ids out of range [0, {bundle.num_users}): {bad.tolist()}")
+    else:
+        users = np.random.default_rng(config.seed).integers(
+            0, bundle.num_users, args.num_sample
+        ).astype(np.int32)
+    k = args.k or config.top_k
+    scores, items = retriever.recommend(
+        users, k=k, filter_seen=not args.include_seen
+    )
+    catalog = "int8" if args.int8 else "f32"
+    print(f"Top-{k} recommendations ({catalog} catalog, "
+          f"{'seen items included' if args.include_seen else 'seen items filtered'}):")
+    for u, s_row, i_row in zip(users, scores, items):
+        pairs = " ".join(f"{i}:{v:.3f}" for i, v in zip(i_row, s_row))
+        print(f"user {u}: {pairs}")
+    return 0
+
+
 def run_prepare(args) -> int:
     from gcn_recommendation_tpu.data import prepare
 
@@ -258,6 +325,8 @@ def main(argv=None) -> int:
         return run_train(args)
     if args.mode == "test":
         return run_test(args)
+    if args.mode == "recommend":
+        return run_recommend(args)
     if args.mode == "prepare":
         return run_prepare(args)
     raise ValueError(args.mode)

@@ -52,3 +52,22 @@ def test_cli_prepare_train_test_roundtrip(tmp_path):
     r = _run(["test", "--processed_dir", data, "--output_root", out_root])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Recall@20" in r.stdout
+
+    # serving entry: explicit users + a sampled batch
+    r = _run(
+        ["recommend", "--processed_dir", data, "--output_root", out_root,
+         "--users", "3,7", "--k", "5"],
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "user 3:" in r.stdout and "user 7:" in r.stdout
+    # each line carries k item:score pairs
+    line = [l for l in r.stdout.splitlines() if l.startswith("user 3:")][0]
+    assert len(line.split()[2:]) == 5
+
+    # out-of-range user id fails loudly
+    r = _run(
+        ["recommend", "--processed_dir", data, "--output_root", out_root,
+         "--users", "99999"],
+    )
+    assert r.returncode != 0
+    assert "out of range" in r.stderr
