@@ -64,6 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Resume from the rolling 'last' checkpoint.")
     tr.add_argument("--batch_size", type=int, default=None)
     tr.add_argument("--learning_rate", type=float, default=None)
+    tr.add_argument("--val_interval", type=int, default=None,
+                    help="Validate every N epochs (default 5, main.py:66).")
 
     te = sub.add_parser("test", help="Evaluate a trained checkpoint on the test split.")
     add_common(te)
@@ -142,6 +144,8 @@ def _make_config(args):
             kwargs["batch_size"] = args.batch_size
         if args.learning_rate is not None:
             kwargs["learning_rate"] = args.learning_rate
+        if getattr(args, "val_interval", None) is not None:
+            kwargs["val_interval"] = args.val_interval
     return Config(**kwargs)
 
 

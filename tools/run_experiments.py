@@ -98,12 +98,20 @@ def main():
     ap.add_argument("--batch_size", type=int, default=2048)
     ap.add_argument("--with_brand_loss", action="store_true",
                     help="also run the loss_* grid (brand-preference loss)")
+    ap.add_argument("--with_lase", action="store_true",
+                    help="also emit the reference's lase_* dirs (same runs as "
+                         "base_* under the alternate code seen in exp_zno — "
+                         "SURVEY.md section 2.1 #19)")
     ap.add_argument("--only", type=str, default=None,
                     help="comma-separated suffixes to run (e.g. brd,nob_fus)")
     args = ap.parse_args()
 
     results = []
-    grids = [("base", GRID)] + ([("loss", LOSS_GRID)] if args.with_brand_loss else [])
+    grids = [("base", GRID)]
+    if args.with_brand_loss:
+        grids.append(("loss", LOSS_GRID))
+    if args.with_lase:
+        grids.append(("lase", GRID))
     for tag, grid in grids:
         for suffix, model, brand, bloss, pre in grid:
             if args.only and suffix not in args.only.split(","):
