@@ -357,3 +357,61 @@ def build_normalized_adjacency(
         dense_node_ids=dense_node_ids,
         dense_mat=dense_mat,
     )
+
+
+def build_chunked_ell(graph: Graph, num_chunks: int):
+    """Rebuild the non-hub ELL view with source-chunked neighbor lists.
+
+    Motivation (measured, PERF.md "gather knee"): the TPU gather rate is
+    ~2.5 ns/row when the source table is <= ~51 MB but ~5.3 ns/row above
+    — so for large graphs, gathering from per-chunk sub-tables of the
+    embedding block is ~1.8x faster even though rows/edges are identical.
+
+    Each destination row is split into up to ``num_chunks`` sub-rows, one
+    per source chunk (chunk c covers source ids
+    ``[c*chunk_rows, (c+1)*chunk_rows)`` with
+    ``chunk_rows = ceil(num_nodes/num_chunks)``); each chunk's sub-rows
+    are degree-bucketed independently with chunk-local neighbor ids.
+    Hub rows keep the graph's global dense path.
+
+    Returns (per_chunk_buckets, per_chunk_gather_idx, dense_gather_idx):
+    ``per_chunk_buckets[c]`` is a list of EllBucket with chunk-local
+    ``nbr_idx``; ``per_chunk_gather_idx[c]`` maps every node to its
+    output row among chunk c's bucket outputs (trailing zeros row if the
+    node has no neighbors in chunk c); ``dense_gather_idx`` maps hub
+    nodes to their dense-output rows (trailing zeros row otherwise).
+    """
+    n = graph.num_nodes
+    chunk_rows = -(-n // num_chunks)
+    dst = graph.dst[: graph.nnz].astype(np.int64)
+    src = graph.src[: graph.nnz].astype(np.int64)
+    w = graph.weight[: graph.nnz]
+
+    hub_set = np.zeros(n, dtype=bool)
+    hub_set[graph.dense_node_ids] = True
+    keep = ~hub_set[dst]
+    dst, src, w = dst[keep], src[keep], w[keep]
+    chunk_of = src // chunk_rows
+
+    per_chunk_buckets = []
+    per_chunk_gidx = []
+    max_deg = int(np.bincount(dst, minlength=n).max()) if len(dst) else 0
+    for c in range(num_chunks):
+        m = chunk_of == c
+        # dst-major order is preserved by boolean selection
+        buckets, gidx, dn, dm = bucket_by_degree(
+            dst[m],
+            src[m] - c * chunk_rows,
+            w[m],
+            n,
+            dense_threshold=max_deg + 1,  # hubs handled globally
+            num_src_nodes=chunk_rows,
+        )
+        assert len(dn) == 0
+        per_chunk_buckets.append(buckets)
+        per_chunk_gidx.append(gidx)
+
+    h = len(graph.dense_node_ids)
+    dense_gidx = np.full(n, h, dtype=np.int32)  # default: trailing zeros row
+    dense_gidx[graph.dense_node_ids] = np.arange(h, dtype=np.int32)
+    return per_chunk_buckets, per_chunk_gidx, dense_gidx

@@ -48,16 +48,26 @@ class DeviceGraph(NamedTuple):
     dense_mat: jax.Array      # [H, num_nodes] f32 hub rows (MXU path)
 
 
-def to_device_graph(g: Graph, compute_dtype=jnp.float32, dense_dtype=None) -> DeviceGraph:
+def to_device_graph(
+    g: Graph, compute_dtype=jnp.float32, dense_dtype=None, include_coo: bool = False
+) -> DeviceGraph:
     """``dense_dtype`` (default = compute_dtype) controls the hub-row
     matrix precision: bf16 halves its HBM read at ~0.4% weight rounding —
-    an opt-in trade (see PERF.md)."""
+    an opt-in trade (see PERF.md).
+
+    ``include_coo`` additionally ships the sorted-COO view to the device
+    (~12 bytes/edge of HBM).  Only the ``path='coo'`` reference/fallback
+    propagator needs it; the production ELL path never touches it, so it
+    stays on the host by default."""
     if dense_dtype is None:
         dense_dtype = compute_dtype
+    empty_i = jnp.zeros((0,), jnp.int32)
     return DeviceGraph(
-        src=jnp.asarray(g.src),
-        dst=jnp.asarray(g.dst),
-        weight=jnp.asarray(g.weight, dtype=compute_dtype),
+        src=jnp.asarray(g.src) if include_coo else empty_i,
+        dst=jnp.asarray(g.dst) if include_coo else empty_i,
+        weight=jnp.asarray(g.weight, dtype=compute_dtype)
+        if include_coo
+        else jnp.zeros((0,), compute_dtype),
         bucket_nbr_idx=tuple(jnp.asarray(b.nbr_idx) for b in g.buckets),
         bucket_nbr_w=tuple(
             jnp.asarray(b.nbr_w, dtype=compute_dtype) for b in g.buckets
@@ -130,11 +140,22 @@ def _propagate_ell_bwd(res, g):
 propagate_ell.defvjp(_propagate_ell_fwd, _propagate_ell_bwd)
 
 
-def propagate(emb: jax.Array, graph: DeviceGraph, num_nodes: int, *, path: str = "ell"):
+def propagate(emb: jax.Array, graph, num_nodes: int, *, path: str = "ell"):
     """One propagation step ``A_norm @ emb``.
 
+    ``graph`` is a DeviceGraph or a ChunkedDeviceGraph (large-graph
+    source-chunked layout — see the gather knee notes below).
     ``path``: 'ell' (TPU-native, default) or 'coo' (segment_sum fallback).
     """
+    if isinstance(graph, ChunkedDeviceGraph):
+        return propagate_chunked(
+            emb,
+            graph.chunk_bucket_idx,
+            graph.chunk_bucket_w,
+            graph.chunk_gather_idx,
+            graph.dense_mat,
+            graph.dense_gather_idx,
+        )
     if path == "ell":
         return propagate_ell(
             emb,
@@ -144,5 +165,125 @@ def propagate(emb: jax.Array, graph: DeviceGraph, num_nodes: int, *, path: str =
             graph.dense_mat,
         )
     elif path == "coo":
+        if graph.src.shape[0] == 0:
+            raise ValueError(
+                "COO view not on device — build with "
+                "to_device_graph(..., include_coo=True)"
+            )
         return propagate_coo(emb, graph.src, graph.dst, graph.weight, num_nodes)
     raise ValueError(f"unknown propagation path {path!r}")
+
+
+# ---------------------------------------------------------------------------
+# Source-chunked ELL — large-graph path (the "gather knee", PERF.md)
+# ---------------------------------------------------------------------------
+
+# Measured on v5e (tools/ + PERF.md): XLA row-gather runs ~2.5 ns/row when
+# the source table is below ~51 MB and ~5.3 ns/row above.  Propagation on
+# big graphs therefore gathers from <=GATHER_KNEE_BYTES sub-tables of the
+# embedding block (chunk-local neighbor ids), ~1.8x faster per row.
+GATHER_KNEE_BYTES = 45 * 1024 * 1024
+
+
+def num_chunks_for(num_nodes: int, dim: int, itemsize: int = 4) -> int:
+    """Chunk count so each source sub-table stays under the gather knee."""
+    return max(1, -(-(num_nodes * dim * itemsize) // GATHER_KNEE_BYTES))
+
+
+class ChunkedDeviceGraph(NamedTuple):
+    """Device-resident source-chunked adjacency (pytree of jnp arrays).
+
+    ``chunk_bucket_idx[c]`` holds chunk-local neighbor ids; the chunk
+    count and chunk row span are recovered from the pytree structure and
+    the embedding shape (``chunk_rows = ceil(N / C)``), so nothing here
+    is a static scalar.
+    """
+
+    chunk_bucket_idx: Tuple[Tuple[jax.Array, ...], ...]
+    chunk_bucket_w: Tuple[Tuple[jax.Array, ...], ...]
+    chunk_gather_idx: Tuple[jax.Array, ...]   # [C] x [num_nodes]
+    dense_mat: jax.Array                       # [H, num_nodes]
+    dense_gather_idx: jax.Array                # [num_nodes] -> H rows + zeros
+
+
+def to_device_chunked_graph(
+    g: Graph, num_chunks: int, compute_dtype=jnp.float32, dense_dtype=None
+) -> ChunkedDeviceGraph:
+    from gcn_recommendation_tpu.graph.build import build_chunked_ell
+
+    if dense_dtype is None:
+        dense_dtype = compute_dtype
+    per_chunk_buckets, per_chunk_gidx, dense_gidx = build_chunked_ell(
+        g, num_chunks
+    )
+    return ChunkedDeviceGraph(
+        chunk_bucket_idx=tuple(
+            tuple(jnp.asarray(b.nbr_idx) for b in buckets)
+            for buckets in per_chunk_buckets
+        ),
+        chunk_bucket_w=tuple(
+            tuple(jnp.asarray(b.nbr_w, dtype=compute_dtype) for b in buckets)
+            for buckets in per_chunk_buckets
+        ),
+        chunk_gather_idx=tuple(jnp.asarray(gi) for gi in per_chunk_gidx),
+        dense_mat=jnp.asarray(g.dense_mat, dtype=dense_dtype),
+        dense_gather_idx=jnp.asarray(dense_gidx),
+    )
+
+
+def _chunked_matvec(
+    emb, chunk_bucket_idx, chunk_bucket_w, chunk_gather_idx, dense_mat, dense_gather_idx
+):
+    n, d = emb.shape
+    c = len(chunk_gather_idx)
+    chunk_rows = -(-n // c)
+    pad = c * chunk_rows - n
+    src = jnp.concatenate([emb, jnp.zeros((pad, d), emb.dtype)]) if pad else emb
+
+    acc = None
+    for ci in range(c):
+        sub = jax.lax.dynamic_slice_in_dim(src, ci * chunk_rows, chunk_rows, 0)
+        parts = []
+        for idx, w in zip(chunk_bucket_idx[ci], chunk_bucket_w[ci]):
+            gathered = jnp.take(sub, idx, axis=0)
+            parts.append(
+                jnp.sum(gathered * w[..., None], axis=1, dtype=jnp.float32).astype(
+                    emb.dtype
+                )
+            )
+        parts.append(jnp.zeros((1, d), emb.dtype))
+        out_c = jnp.concatenate(parts, axis=0)[chunk_gather_idx[ci]]
+        acc = out_c if acc is None else acc + out_c
+    if dense_mat.shape[0]:
+        hub_rows = jnp.dot(
+            dense_mat, emb.astype(dense_mat.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(emb.dtype)
+        hub_rows = jnp.concatenate([hub_rows, jnp.zeros((1, d), emb.dtype)])
+        acc = acc + hub_rows[dense_gather_idx]
+    return acc
+
+
+@jax.custom_vjp
+def propagate_chunked(
+    emb, chunk_bucket_idx, chunk_bucket_w, chunk_gather_idx, dense_mat, dense_gather_idx
+):
+    """Scatter-free SpMM over the source-chunked ELL adjacency."""
+    return _chunked_matvec(
+        emb, chunk_bucket_idx, chunk_bucket_w, chunk_gather_idx, dense_mat,
+        dense_gather_idx,
+    )
+
+
+def _propagate_chunked_fwd(emb, cbi, cbw, cgi, dm, dgi):
+    return _chunked_matvec(emb, cbi, cbw, cgi, dm, dgi), (cbi, cbw, cgi, dm, dgi)
+
+
+def _propagate_chunked_bwd(res, g):
+    # same symmetric-adjacency trick as propagate_ell: A^T = A, so the
+    # backward pass is the identical chunked gather kernel on the cotangent
+    cbi, cbw, cgi, dm, dgi = res
+    return _chunked_matvec(g, cbi, cbw, cgi, dm, dgi), None, None, None, None, None
+
+
+propagate_chunked.defvjp(_propagate_chunked_fwd, _propagate_chunked_bwd)

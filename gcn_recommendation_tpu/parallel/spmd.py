@@ -82,10 +82,16 @@ def shard_graph(graph: DeviceGraph, mesh: Mesh) -> DeviceGraph:
 class ShardedTrainer(Trainer):
     """Trainer whose state and graph live sharded on a 2-D mesh.
 
+    Source-chunked gathers are disabled here: row-sharding the tables
+    over the mesh already brings each device's shard under the gather
+    knee (PERF.md), and shard_graph expects the plain ELL layout.
+
     The step/epoch functions are identical to the single-device Trainer —
     sharding comes entirely from input placement plus one batch-sharding
     constraint, and XLA compiles the collectives.
     """
+
+    graph_chunking = False
 
     def __init__(self, config, model, bundle, mesh: Mesh, logger=None):
         self.mesh = mesh

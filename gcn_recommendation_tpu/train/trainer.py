@@ -44,7 +44,12 @@ from gcn_recommendation_tpu.data.sampler import (
     membership_arrays,
     sample_negatives,
 )
-from gcn_recommendation_tpu.ops.spmm import DeviceGraph, to_device_graph
+from gcn_recommendation_tpu.ops.spmm import (
+    DeviceGraph,
+    num_chunks_for,
+    to_device_chunked_graph,
+    to_device_graph,
+)
 from gcn_recommendation_tpu.train.evaluate import (
     build_eval_batches,
     evaluate,
@@ -68,6 +73,11 @@ class TrainArrays(NamedTuple):
 
 
 class Trainer:
+    # Large-graph source-chunked gathers (the "gather knee", PERF.md).
+    # ShardedTrainer disables this: sharding the tables over devices
+    # already brings each shard under the knee.
+    graph_chunking = True
+
     def __init__(self, config, model, bundle: DataBundle, logger: Optional[Logger] = None):
         self.config = config
         self.model = model
@@ -78,11 +88,20 @@ class Trainer:
             bundle.train.user_idx, bundle.train.item_idx, bundle.num_users
         )
         self.sampler_iters = binary_search_iters(user_ptr)
+        cdtype = jnp.dtype(getattr(config, "compute_dtype", "float32"))
+        n_chunks = num_chunks_for(
+            bundle.graph.num_nodes, config.embedding_dim, cdtype.itemsize
+        )
+        if self.graph_chunking and n_chunks > 1:
+            graph = to_device_chunked_graph(
+                bundle.graph, n_chunks, compute_dtype=cdtype
+            )
+            print(f"Graph: source-chunked gathers ({n_chunks} chunks — "
+                  f"embedding block above the gather knee, see PERF.md)")
+        else:
+            graph = to_device_graph(bundle.graph, compute_dtype=cdtype)
         self.arrays = TrainArrays(
-            graph=to_device_graph(
-                bundle.graph,
-                compute_dtype=jnp.dtype(getattr(config, "compute_dtype", "float32")),
-            ),
+            graph=graph,
             train_users=jnp.asarray(bundle.train.user_idx),
             train_items=jnp.asarray(bundle.train.item_idx),
             user_ptr=jnp.asarray(user_ptr),

@@ -36,7 +36,7 @@ def test_coo_path_matches_dense(graph_and_dense):
     g, dense = graph_and_dense
     n = g.num_nodes
     emb = np.random.default_rng(0).standard_normal((n, 16)).astype(np.float32)
-    dg = to_device_graph(g)
+    dg = to_device_graph(g, include_coo=True)
     out = propagate_coo(jnp.asarray(emb), dg.src, dg.dst, dg.weight, n)
     np.testing.assert_allclose(np.asarray(out), dense @ emb, rtol=2e-5, atol=2e-5)
 
@@ -59,7 +59,7 @@ def test_ell_and_coo_agree_under_jit(graph_and_dense):
     emb = jnp.asarray(
         np.random.default_rng(2).standard_normal((n, 8)).astype(np.float32)
     )
-    dg = to_device_graph(g)
+    dg = to_device_graph(g, include_coo=True)
     f_ell = jax.jit(lambda e: propagate(e, dg, n, path="ell"))
     f_coo = jax.jit(lambda e: propagate(e, dg, n, path="coo"))
     np.testing.assert_allclose(
@@ -99,3 +99,108 @@ def test_degree_zero_rows_are_zero():
     emb = jnp.ones((g.num_nodes, 4), jnp.float32)
     out = propagate(emb, dg, g.num_nodes, path="ell")
     np.testing.assert_allclose(np.asarray(out[-3:]), 0.0)
+
+
+def test_coo_excluded_by_default():
+    """The hot path never needs the COO view on device; to_device_graph
+    omits it (12 bytes/edge of HBM) unless include_coo=True, and the coo
+    propagator fails loudly without it."""
+    import pytest
+
+    from gcn_recommendation_tpu.graph.build import build_normalized_adjacency
+
+    rng = np.random.default_rng(5)
+    g = build_normalized_adjacency(
+        rng.integers(0, 20, 100), rng.integers(0, 15, 100), 20, 15, 2,
+        use_brand=False,
+    )
+    dg = to_device_graph(g)
+    assert dg.src.shape == (0,) and dg.weight.shape == (0,)
+    with pytest.raises(ValueError, match="include_coo"):
+        propagate(jnp.zeros((g.num_nodes, 4)), dg, g.num_nodes, path="coo")
+
+
+def test_chunked_matvec_matches_plain(graph_and_dense):
+    """Source-chunked ELL (gather-knee path) must equal the plain ELL and
+    the dense reference exactly in math (float-order tolerances only),
+    including hub-dense rows and gradients."""
+    from gcn_recommendation_tpu.ops.spmm import (
+        propagate_chunked,
+        to_device_chunked_graph,
+    )
+
+    g, dense = graph_and_dense
+    n = g.num_nodes
+    emb = jnp.asarray(
+        np.random.default_rng(7).standard_normal((n, 16)).astype(np.float32)
+    )
+    for num_chunks in (2, 3, 5):
+        cdg = to_device_chunked_graph(g, num_chunks)
+
+        def run(e):
+            return propagate_chunked(
+                e,
+                cdg.chunk_bucket_idx,
+                cdg.chunk_bucket_w,
+                cdg.chunk_gather_idx,
+                cdg.dense_mat,
+                cdg.dense_gather_idx,
+            )
+
+        out = run(emb)
+        np.testing.assert_allclose(
+            np.asarray(out), dense @ np.asarray(emb), rtol=3e-5, atol=3e-5
+        )
+        # gradient: d/de sum(A e * t) = A^T t = A t (symmetric)
+        t = jnp.asarray(
+            np.random.default_rng(8).standard_normal((n, 16)).astype(np.float32)
+        )
+        grad = jax.grad(lambda e: jnp.sum(run(e) * t))(emb)
+        np.testing.assert_allclose(
+            np.asarray(grad), dense.T @ np.asarray(t), rtol=3e-5, atol=3e-5
+        )
+
+
+def test_chunked_propagate_dispatch(graph_and_dense):
+    from gcn_recommendation_tpu.ops.spmm import to_device_chunked_graph
+
+    g, dense = graph_and_dense
+    n = g.num_nodes
+    emb = jnp.asarray(
+        np.random.default_rng(9).standard_normal((n, 8)).astype(np.float32)
+    )
+    cdg = to_device_chunked_graph(g, 4)
+    out = jax.jit(lambda e: propagate(e, cdg, n))(emb)
+    np.testing.assert_allclose(
+        np.asarray(out), dense @ np.asarray(emb), rtol=3e-5, atol=3e-5
+    )
+
+
+def test_trainer_chunked_graph_equivalent(tiny_bundle):
+    """A Trainer running on the chunked graph must produce (numerically)
+    the same epoch losses as the plain layout."""
+    from gcn_recommendation_tpu.config import Config
+    from gcn_recommendation_tpu.models import get_model
+    from gcn_recommendation_tpu.ops.spmm import to_device_chunked_graph
+    from gcn_recommendation_tpu.train.trainer import Trainer
+
+    bundle, _ = tiny_bundle
+    cfg = Config(embedding_dim=8, n_layers=2, epochs=1, batch_size=64)
+    model = get_model("LightGCN")(
+        bundle.num_users, bundle.num_items, bundle.num_brands, cfg
+    )
+    tr = Trainer(cfg, model, bundle)
+    params, opt = tr.init_state(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(3)
+    _, _, losses_plain = tr._epoch_fn(params, opt, key)
+
+    tr2 = Trainer(cfg, model, bundle)
+    tr2.arrays = tr2.arrays._replace(
+        graph=to_device_chunked_graph(bundle.graph, 3)
+    )
+    tr2._epoch_fn_jit = tr2._build_epoch_fn()
+    params2, opt2 = tr2.init_state(jax.random.PRNGKey(0))
+    _, _, losses_chunked = tr2._epoch_fn(params2, opt2, key)
+    np.testing.assert_allclose(
+        np.asarray(losses_plain), np.asarray(losses_chunked), rtol=2e-5
+    )
