@@ -9,7 +9,12 @@ from gcn_recommendation_tpu.ops.quant import (
     quantize_rows_int8,
     quantized_topk_scores,
 )
-from gcn_recommendation_tpu.ops.topk import masked_topk, masked_topk_scores, topk_eval_batch
+from gcn_recommendation_tpu.ops.topk import (
+    masked_topk,
+    masked_topk_scores,
+    topk_eval_batch,
+    topk_eval_scan,
+)
 
 __all__ = [
     "DeviceGraph",
@@ -20,6 +25,7 @@ __all__ = [
     "masked_topk",
     "masked_topk_scores",
     "topk_eval_batch",
+    "topk_eval_scan",
     "quantize_rows_int8",
     "quantized_topk_scores",
 ]

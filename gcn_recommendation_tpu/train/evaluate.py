@@ -8,9 +8,10 @@ Protocol parity with reference evaluate() (main.py:404-439):
 * per user batch: dense scores, seen-item masking, top-k, hit/NDCG;
 * metric = mean over evaluated users.
 
-TPU-native: batches are padded to a static shape and the whole
-score->mask->topk->metric pipeline runs as one jit (ops/topk.py); only
-the final three scalars come back to the host per batch.
+TPU-native: batches are padded to static shapes, stacked per filter
+tier, and the whole score->mask->topk->metric pipeline for a tier runs
+as ONE scanned device dispatch (ops/topk.py::topk_eval_scan); only
+three scalars come back to the host per tier.
 """
 
 from __future__ import annotations
@@ -23,7 +24,7 @@ import numpy as np
 
 from gcn_recommendation_tpu.data.loader import Interactions
 from gcn_recommendation_tpu.data.sampler import membership_arrays
-from gcn_recommendation_tpu.ops.topk import COMPARE_MAX_F, topk_eval_batch
+from gcn_recommendation_tpu.ops.topk import COMPARE_MAX_F, topk_eval_scan
 
 
 def dedup_eval_users(eval_inter: Interactions) -> Tuple[np.ndarray, np.ndarray]:
@@ -45,11 +46,15 @@ def build_eval_batches(
     num_items: int,
     batch_size: int = 1024,
 ):
-    """Device-resident padded eval batches [(users, true, filt, valid)].
+    """Device-resident stacked eval batches, one stack per filter tier.
 
     Built once and reused across validations (the eval users and filter
     set never change during a training run; rebuilding + re-uploading
-    the filter arrays every eval is pure host/transfer waste).
+    the filter arrays every eval is pure host/transfer waste).  Each
+    tier is a tuple (users [nb, B], true [nb, B], filt [nb, B, F],
+    valid [nb, B]) consumed by ops.topk.topk_eval_scan in ONE device
+    dispatch — the per-batch dispatch loop paid a full host round trip
+    per 1024 users, which dominates on the remote-tunnel TPU.
 
     Two-tier batching by filter-list width: users whose seen-set fits
     COMPARE_MAX_F get narrow filter arrays (and the scatter-free
@@ -73,42 +78,43 @@ def build_eval_batches(
         (users[~narrow], true_items[~narrow]),
     ) if len(t[0])]
 
-    batches = []
+    stacks = []
     for t_users, t_items in tiers:
         fmax = max(1, int(deg[t_users].max()))
-        for start in range(0, len(t_users), batch_size):
-            bu = t_users[start : start + batch_size]
-            bt = t_items[start : start + batch_size]
-            b = len(bu)
-            pad = batch_size - b
-            # padded seen-item lists; pad index = num_items (dropped as OOB)
-            filt = np.full((batch_size, fmax), num_items, dtype=np.int32)
-            lens = deg[bu]
-            rows = np.repeat(np.arange(b), lens)
-            offs = np.cumsum(lens) - lens
-            cols = np.arange(int(lens.sum())) - np.repeat(offs, lens)
-            flat = np.repeat(f_ptr[bu], lens) + cols
-            filt[rows, cols] = f_items[flat]
+        nb = -(-len(t_users) // batch_size)
+        total = nb * batch_size
+        pad = total - len(t_users)
+        bu = np.concatenate([t_users, np.zeros(pad, np.int32)])
+        bt = np.concatenate([t_items, np.zeros(pad, np.int32)])
+        valid = np.concatenate(
+            [np.ones(len(t_users), bool), np.zeros(pad, bool)]
+        )
+        # padded seen-item lists; pad index = num_items (dropped as OOB)
+        filt = np.full((total, fmax), num_items, dtype=np.int32)
+        lens = deg[t_users]
+        rows = np.repeat(np.arange(len(t_users)), lens)
+        offs = np.cumsum(lens) - lens
+        cols = np.arange(int(lens.sum())) - np.repeat(offs, lens)
+        flat = np.repeat(f_ptr[t_users], lens) + cols
+        filt[rows, cols] = f_items[flat]
 
-            bu_p = np.concatenate([bu, np.zeros(pad, np.int32)])
-            bt_p = np.concatenate([bt, np.zeros(pad, np.int32)])
-            valid = np.concatenate([np.ones(b, bool), np.zeros(pad, bool)])
-            batches.append(
-                (
-                    jnp.asarray(bu_p),
-                    jnp.asarray(bt_p),
-                    jnp.asarray(filt),
-                    jnp.asarray(valid),
-                )
+        stacks.append(
+            (
+                jnp.asarray(bu.reshape(nb, batch_size)),
+                jnp.asarray(bt.reshape(nb, batch_size)),
+                jnp.asarray(filt.reshape(nb, batch_size, fmax)),
+                jnp.asarray(valid.reshape(nb, batch_size)),
             )
-    return batches
+        )
+    return stacks
 
 
 def evaluate_batches(fu, fi, batches, k: int) -> Tuple[float, float]:
-    """Recall@k / NDCG@k over prebuilt device batches."""
+    """Recall@k / NDCG@k over prebuilt per-tier batch stacks —
+    one device dispatch (and one scalar fetch) per tier."""
     recall_sum = ndcg_sum = count = 0.0
     for bu, bt, filt, valid in batches:
-        r, n, c = topk_eval_batch(fu, fi, bu, bt, filt, valid, k)
+        r, n, c = topk_eval_scan(fu, fi, bu, bt, filt, valid, k)
         recall_sum += float(r)
         ndcg_sum += float(n)
         count += float(c)
