@@ -201,27 +201,34 @@ def run_train(args) -> int:
     return 0
 
 
-def run_test(args) -> int:
-    from gcn_recommendation_tpu.data.loader import Interactions
-    from gcn_recommendation_tpu.ops.spmm import to_device_graph
-    from gcn_recommendation_tpu.train.evaluate import evaluate
-    from gcn_recommendation_tpu.utils import checkpoint as ckpt
+def _restore_best_params(config, args, model):
+    """Load the best checkpoint's params for test/recommend modes."""
     import jax
+    import optax
 
-    config = _make_config(args)
-    bundle, model = _load_everything(config)
+    from gcn_recommendation_tpu.utils import checkpoint as ckpt
+
     ckpt_dir = args.model_path or os.path.join(
         config.checkpoint_dir, config.checkpoint_name()
     )
     params = model.init(jax.random.PRNGKey(config.seed))
-    import optax
-
     opt_state = optax.adam(config.learning_rate).init(params)
     restored = ckpt.load_best(ckpt_dir, params, opt_state)
     if restored is None:
         raise FileNotFoundError(f"Model checkpoint not found at '{ckpt_dir}'")
-    params = restored[0]
     print(f"Model loaded from '{ckpt_dir}'")
+    return restored[0]
+
+
+def run_test(args) -> int:
+    from gcn_recommendation_tpu.data.loader import Interactions
+    from gcn_recommendation_tpu.ops.spmm import to_device_graph
+    from gcn_recommendation_tpu.train.evaluate import evaluate
+    import jax.numpy as jnp
+
+    config = _make_config(args)
+    bundle, model = _load_everything(config)
+    params = _restore_best_params(config, args, model)
 
     print("Evaluating on the TEST set...")
     # test-time filter = train + val (main.py:576)
@@ -232,7 +239,9 @@ def run_test(args) -> int:
     recall, ndcg = evaluate(
         model,
         params,
-        to_device_graph(bundle.graph),
+        to_device_graph(
+            bundle.graph, compute_dtype=jnp.dtype(config.compute_dtype)
+        ),
         bundle.test,
         filt,
         bundle.num_users,
@@ -253,27 +262,15 @@ def run_recommend(args) -> int:
     No reference counterpart (retrieval only exists inside evaluate(),
     main.py:404-439); this exposes serve.Retriever on the CLI.
     """
-    import jax
-
     from gcn_recommendation_tpu.serve import Retriever
-    from gcn_recommendation_tpu.utils import checkpoint as ckpt
 
     config = _make_config(args)
     bundle, model = _load_everything(config)
-    ckpt_dir = args.model_path or os.path.join(
-        config.checkpoint_dir, config.checkpoint_name()
-    )
-    params = model.init(jax.random.PRNGKey(config.seed))
-    import optax
 
-    opt_state = optax.adam(config.learning_rate).init(params)
-    restored = ckpt.load_best(ckpt_dir, params, opt_state)
-    if restored is None:
-        raise FileNotFoundError(f"Model checkpoint not found at '{ckpt_dir}'")
-    params = restored[0]
-    print(f"Model loaded from '{ckpt_dir}'")
-
-    retriever = Retriever.from_params(model, params, bundle, quantize=args.int8)
+    # validate cheap inputs BEFORE the expensive restore + propagation
+    k = config.top_k if args.k is None else args.k
+    if not 0 < k <= bundle.num_items:
+        raise ValueError(f"--k must be in [1, {bundle.num_items}], got {k}")
     if args.users:
         users = np.array([int(u) for u in args.users.split(",")], np.int32)
         bad = users[(users < 0) | (users >= bundle.num_users)]
@@ -283,7 +280,9 @@ def run_recommend(args) -> int:
         users = np.random.default_rng(config.seed).integers(
             0, bundle.num_users, args.num_sample
         ).astype(np.int32)
-    k = args.k or config.top_k
+
+    params = _restore_best_params(config, args, model)
+    retriever = Retriever.from_params(model, params, bundle, quantize=args.int8)
     scores, items = retriever.recommend(
         users, k=k, filter_seen=not args.include_seen
     )

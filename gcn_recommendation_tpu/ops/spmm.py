@@ -240,6 +240,9 @@ def _chunked_matvec(
     pad = c * chunk_rows - n
     src = jnp.concatenate([emb, jnp.zeros((pad, d), emb.dtype)]) if pad else emb
 
+    # cross-chunk/hub partial sums accumulate in f32 even in bf16 storage
+    # mode — same invariant as the plain ELL reductions (a bf16 acc would
+    # round each destination row C+1 times); one cast at the end
     acc = None
     for ci in range(c):
         sub = jax.lax.dynamic_slice_in_dim(src, ci * chunk_rows, chunk_rows, 0)
@@ -247,21 +250,19 @@ def _chunked_matvec(
         for idx, w in zip(chunk_bucket_idx[ci], chunk_bucket_w[ci]):
             gathered = jnp.take(sub, idx, axis=0)
             parts.append(
-                jnp.sum(gathered * w[..., None], axis=1, dtype=jnp.float32).astype(
-                    emb.dtype
-                )
+                jnp.sum(gathered * w[..., None], axis=1, dtype=jnp.float32)
             )
-        parts.append(jnp.zeros((1, d), emb.dtype))
+        parts.append(jnp.zeros((1, d), jnp.float32))
         out_c = jnp.concatenate(parts, axis=0)[chunk_gather_idx[ci]]
         acc = out_c if acc is None else acc + out_c
     if dense_mat.shape[0]:
         hub_rows = jnp.dot(
             dense_mat, emb.astype(dense_mat.dtype),
             preferred_element_type=jnp.float32,
-        ).astype(emb.dtype)
-        hub_rows = jnp.concatenate([hub_rows, jnp.zeros((1, d), emb.dtype)])
+        ).astype(jnp.float32)
+        hub_rows = jnp.concatenate([hub_rows, jnp.zeros((1, d), jnp.float32)])
         acc = acc + hub_rows[dense_gather_idx]
-    return acc
+    return acc.astype(emb.dtype)
 
 
 @jax.custom_vjp

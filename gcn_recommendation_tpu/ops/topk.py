@@ -27,11 +27,21 @@ import jax.numpy as jnp
 
 MASK_VALUE = -1e10  # main.py:424
 
-# Max filter width for the comparison masking path (see masked_topk).
-# Tuned on TPU v5e with tools/exp_topk_mask.py: compare wins up to F=32
-# measured (1.04 vs 1.82 ms at F=8, 1.27 vs 1.45 at F=32 per 1024x20k
-# batch), scatter wins at F=128 (1.99 vs 6.16 ms); crossover ~64.
-COMPARE_MAX_F = 64
+# Crossover between comparison and scatter masking (see masked_topk).
+# Compare is O(B*F*N) VPU work while scatter is ~N-independent, so the
+# crossover is on the F*N product.  Calibrated on TPU v5e with
+# tools/exp_topk_mask.py at N=20k: compare wins up to F=32 measured
+# (1.04 vs 1.82 ms at F=8, 1.27 vs 1.45 at F=32 per 1024-user batch),
+# scatter wins at F=128 (1.99 vs 6.16 ms) -> crossover ~64*20k work.
+COMPARE_MAX_WORK = 64 * 20_000
+# Width cap independent of N (guards tiny catalogs where WORK/N blows up)
+COMPARE_MAX_F_CAP = 512
+
+
+def compare_max_f(num_items: int) -> int:
+    """Largest filter width the comparison mask should handle at this
+    catalog size (used for the eval tier split in train/evaluate.py)."""
+    return max(1, min(COMPARE_MAX_F_CAP, COMPARE_MAX_WORK // max(num_items, 1)))
 
 
 def masked_topk(scores: jax.Array, filter_idx: jax.Array, k: int, *, strategy: str = "auto"):
@@ -55,12 +65,13 @@ def masked_topk(scores: jax.Array, filter_idx: jax.Array, k: int, *, strategy: s
       ``lax.top_k(k+F)`` is far costlier than ``top_k(k)`` on TPU
       (2.75 ms already at F=8), so it never wins; kept for reference.
 
-    ``auto`` picks compare for F <= COMPARE_MAX_F, scatter otherwise.
+    ``auto`` picks compare while F*N is under the measured crossover
+    (``compare_max_f``), scatter otherwise.
     """
     b, n = scores.shape
     f = filter_idx.shape[1]
     if strategy == "auto":
-        strategy = "compare" if f <= COMPARE_MAX_F else "scatter"
+        strategy = "compare" if f <= compare_max_f(n) else "scatter"
     if strategy == "scatter":
         rows = jnp.arange(b, dtype=filter_idx.dtype)[:, None]
         scores = scores.at[rows, filter_idx].set(MASK_VALUE, mode="drop")
@@ -70,6 +81,11 @@ def masked_topk(scores: jax.Array, filter_idx: jax.Array, k: int, *, strategy: s
         seen = jnp.any(filter_idx[:, :, None] == iota[None, None, :], axis=1)
         return jax.lax.top_k(jnp.where(seen, MASK_VALUE, scores), k)
     assert strategy == "fixup", strategy
+    if k + f >= n:
+        raise ValueError(
+            f"fixup masking needs k + F < N (k={k}, F={f}, N={n}); "
+            "use strategy='scatter'"
+        )
     vals, idx = jax.lax.top_k(scores, k + f)
     seen = jnp.any(idx[:, :, None] == filter_idx[:, None, :], axis=-1)
     vals = jnp.where(seen, MASK_VALUE, vals)

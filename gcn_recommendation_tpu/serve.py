@@ -56,8 +56,14 @@ class Retriever:
 
     @classmethod
     def from_params(cls, model, params, bundle: DataBundle, quantize: bool = False):
-        """Propagate once and build a retriever from trained params."""
-        graph = to_device_graph(bundle.graph)
+        """Propagate once and build a retriever from trained params.
+
+        The graph is built in the model's propagation storage dtype so
+        serving scores match the training-time validation scores."""
+        graph = to_device_graph(
+            bundle.graph,
+            compute_dtype=jnp.dtype(getattr(model, "compute_dtype", "float32")),
+        )
         fu, fi, *_ = model.apply(params, graph)
         return cls(fu, fi, bundle, quantize=quantize)
 

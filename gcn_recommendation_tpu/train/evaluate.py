@@ -24,7 +24,7 @@ import numpy as np
 
 from gcn_recommendation_tpu.data.loader import Interactions
 from gcn_recommendation_tpu.data.sampler import membership_arrays
-from gcn_recommendation_tpu.ops.topk import COMPARE_MAX_F, topk_eval_scan
+from gcn_recommendation_tpu.ops.topk import compare_max_f, topk_eval_scan
 
 
 def dedup_eval_users(eval_inter: Interactions) -> Tuple[np.ndarray, np.ndarray]:
@@ -57,10 +57,11 @@ def build_eval_batches(
     per 1024 users, which dominates on the remote-tunnel TPU.
 
     Two-tier batching by filter-list width: users whose seen-set fits
-    COMPARE_MAX_F get narrow filter arrays (and the scatter-free
-    comparison masking path in ops/topk.py); the power-law tail of
-    heavy users goes through wide batches with scatter masking.  The
-    metric is a mean over users, so regrouping doesn't change it.
+    the comparison-mask crossover (``ops.topk.compare_max_f`` — scales
+    inversely with catalog size) get narrow filter arrays and the
+    scatter-free masking path; the power-law tail of heavy users goes
+    through wide batches with scatter masking.  The metric is a mean
+    over users, so regrouping doesn't change it.
     """
     users, true_items = dedup_eval_users(eval_inter)
     if len(users) == 0:
@@ -72,7 +73,7 @@ def build_eval_batches(
     )
     deg = f_ptr[1:] - f_ptr[:-1]
 
-    narrow = deg[users] <= COMPARE_MAX_F
+    narrow = deg[users] <= compare_max_f(num_items)
     tiers = [t for t in (
         (users[narrow], true_items[narrow]),
         (users[~narrow], true_items[~narrow]),
@@ -140,6 +141,16 @@ def evaluate_embeddings(
     return evaluate_batches(fu, fi, batches, k)
 
 
+def apply_cached(model, params, device_graph):
+    """model.apply under jit, cached on the model so repeated evals
+    don't retrace (shared by evaluate() and the trainers' validate)."""
+    apply_jit = getattr(model, "_apply_jit", None)
+    if apply_jit is None:
+        apply_jit = jax.jit(model.apply)
+        model._apply_jit = apply_jit
+    return apply_jit(params, device_graph)
+
+
 def evaluate(
     model,
     params,
@@ -159,11 +170,7 @@ def evaluate(
     constants would bloat the compile payload); the jitted callable is
     cached on the model so repeated evals don't retrace.
     """
-    apply_jit = getattr(model, "_apply_jit", None)
-    if apply_jit is None:
-        apply_jit = jax.jit(model.apply)
-        model._apply_jit = apply_jit
-    fu, fi, _, _, _ = apply_jit(params, device_graph)
+    fu, fi, _, _, _ = apply_cached(model, params, device_graph)
     return evaluate_embeddings(
         fu, fi, eval_inter, filter_inter, num_users, num_items, k, batch_size
     )

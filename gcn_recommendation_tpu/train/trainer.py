@@ -51,8 +51,8 @@ from gcn_recommendation_tpu.ops.spmm import (
     to_device_graph,
 )
 from gcn_recommendation_tpu.train.evaluate import (
+    apply_cached,
     build_eval_batches,
-    evaluate,
     evaluate_batches,
 )
 from gcn_recommendation_tpu.train.loss import bpr_loss_reg
@@ -215,11 +215,7 @@ class Trainer:
         # the val users and train filter set are fixed for the whole run,
         # so the padded device batches are built once and reused (the
         # per-eval host rebuild + re-upload was pure waste)
-        apply_jit = getattr(self.model, "_apply_jit", None)
-        if apply_jit is None:
-            apply_jit = jax.jit(self.model.apply)
-            self.model._apply_jit = apply_jit
-        fu, fi, _, _, _ = apply_jit(params, self.arrays.graph)
+        fu, fi, _, _, _ = apply_cached(self.model, params, self.arrays.graph)
         if self._eval_batches is None:
             self._eval_batches = build_eval_batches(
                 self.bundle.val,

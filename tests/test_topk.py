@@ -163,21 +163,23 @@ def test_masked_topk_strategies_identical():
 
 
 def test_evaluate_embeddings_two_tier_widths():
-    """Users above COMPARE_MAX_F seen items route through the wide/scatter
-    tier; metric must match a per-user numpy reference regardless of how
-    users are regrouped (train/evaluate.py two-tier batching)."""
+    """Users above the compare-mask crossover route through the
+    wide/scatter tier; metric must match a per-user numpy reference
+    regardless of how users are regrouped (two-tier batching)."""
     from gcn_recommendation_tpu.data.loader import Interactions
-    from gcn_recommendation_tpu.ops.topk import COMPARE_MAX_F
+    from gcn_recommendation_tpu.ops.topk import compare_max_f
     from gcn_recommendation_tpu.train.evaluate import evaluate_embeddings
 
     rng = np.random.default_rng(3)
-    nu, ni, d, k = 6, COMPARE_MAX_F + 120, 8, 5
+    nu, ni, d, k = 6, 3000, 8, 5
+    fcap = compare_max_f(ni)
+    assert fcap < ni  # the wide tier must be reachable at this size
     fu = rng.standard_normal((nu, d)).astype(np.float32)
     fi = rng.standard_normal((ni, d)).astype(np.float32)
 
     tr_u, tr_i = [], []
     for u in range(nu):
-        n_seen = COMPARE_MAX_F + 50 if u == 0 else 3  # user 0: wide tier
+        n_seen = fcap + 50 if u == 0 else 3  # user 0: wide tier
         items = rng.choice(ni, size=n_seen, replace=False)
         tr_u.extend([u] * n_seen)
         tr_i.extend(items.tolist())
