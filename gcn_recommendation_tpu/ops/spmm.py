@@ -178,16 +178,18 @@ def propagate(emb: jax.Array, graph, num_nodes: int, *, path: str = "ell"):
 # Source-chunked ELL — large-graph path (the "gather knee", PERF.md)
 # ---------------------------------------------------------------------------
 
-# Measured on v5e (tools/ + PERF.md): XLA row-gather runs ~2.5 ns/row when
-# the source table is below ~51 MB and ~5.3 ns/row above.  Propagation on
-# big graphs therefore gathers from <=GATHER_KNEE_BYTES sub-tables of the
+# Measured on v5e (PERF.md "gather knee"): XLA row-gather runs ~2.5 ns/row
+# while the source table has fewer than ~200-220k ROWS and ~5.3 ns/row
+# above — the knee is on row count, not bytes (72k x 256 f32 = 74 MB is
+# fast; 288k x 64 f32 = 74 MB is slow).  Propagation on big graphs
+# therefore gathers from sub-tables of <= GATHER_KNEE_ROWS rows of the
 # embedding block (chunk-local neighbor ids), ~1.8x faster per row.
-GATHER_KNEE_BYTES = 45 * 1024 * 1024
+GATHER_KNEE_ROWS = 180_000
 
 
-def num_chunks_for(num_nodes: int, dim: int, itemsize: int = 4) -> int:
+def num_chunks_for(num_nodes: int) -> int:
     """Chunk count so each source sub-table stays under the gather knee."""
-    return max(1, -(-(num_nodes * dim * itemsize) // GATHER_KNEE_BYTES))
+    return max(1, -(-num_nodes // GATHER_KNEE_ROWS))
 
 
 class ChunkedDeviceGraph(NamedTuple):
