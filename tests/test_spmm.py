@@ -204,3 +204,66 @@ def test_trainer_chunked_graph_equivalent(tiny_bundle):
     np.testing.assert_allclose(
         np.asarray(losses_plain), np.asarray(losses_chunked), rtol=2e-5
     )
+
+
+def test_trainer_auto_chunking_trigger(tiny_bundle, monkeypatch):
+    """Trainer must auto-select the chunked graph past the gather knee
+    (knee lowered via monkeypatch so the tiny CI graph crosses it), and
+    produce the same losses as the plain layout."""
+    import gcn_recommendation_tpu.ops.spmm as spmm
+    from gcn_recommendation_tpu.config import Config
+    from gcn_recommendation_tpu.models import get_model
+    from gcn_recommendation_tpu.ops.spmm import ChunkedDeviceGraph
+    from gcn_recommendation_tpu.train.trainer import Trainer
+
+    bundle, _ = tiny_bundle
+    cfg = Config(embedding_dim=8, n_layers=2, epochs=1, batch_size=64)
+    model = get_model("LightGCN")(
+        bundle.num_users, bundle.num_items, bundle.num_brands, cfg
+    )
+    tr_plain = Trainer(cfg, model, bundle)
+    assert not isinstance(tr_plain.arrays.graph, ChunkedDeviceGraph)
+
+    monkeypatch.setattr(
+        spmm, "GATHER_KNEE_ROWS", bundle.graph.num_nodes // 3
+    )
+    tr_auto = Trainer(cfg, model, bundle)
+    assert isinstance(tr_auto.arrays.graph, ChunkedDeviceGraph)
+    assert len(tr_auto.arrays.graph.chunk_gather_idx) >= 3
+
+    params, opt = tr_plain.init_state(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(5)
+    _, _, l_plain = tr_plain._epoch_fn(params, opt, key)
+    params2, opt2 = tr_auto.init_state(jax.random.PRNGKey(0))
+    _, _, l_auto = tr_auto._epoch_fn(params2, opt2, key)
+    np.testing.assert_allclose(np.asarray(l_plain), np.asarray(l_auto), rtol=2e-5)
+
+
+def test_chunked_matvec_bf16_f32_accumulation(graph_and_dense):
+    """bf16 storage through the chunked path: partial sums accumulate in
+    f32 (review finding — a bf16 acc would round each row C+1 times),
+    so the result stays within one-rounding distance of the f32 path."""
+    from gcn_recommendation_tpu.ops.spmm import (
+        propagate_chunked,
+        to_device_chunked_graph,
+    )
+
+    g, dense = graph_and_dense
+    n = g.num_nodes
+    emb32 = np.random.default_rng(11).standard_normal((n, 16)).astype(np.float32)
+    cdg16 = to_device_chunked_graph(g, 4, compute_dtype=jnp.bfloat16)
+
+    out = propagate_chunked(
+        jnp.asarray(emb32).astype(jnp.bfloat16),
+        cdg16.chunk_bucket_idx,
+        cdg16.chunk_bucket_w,
+        cdg16.chunk_gather_idx,
+        cdg16.dense_mat,
+        cdg16.dense_gather_idx,
+    )
+    assert out.dtype == jnp.bfloat16
+    ref = dense @ emb32
+    scale = np.abs(ref).max()
+    # one bf16 rounding of inputs+output: ~2^-8 relative; C+1 roundings
+    # would push past this bound on 16-wide rows
+    assert np.abs(np.asarray(out, np.float32) - ref).max() < 2e-2 * scale
