@@ -5,12 +5,14 @@ from gcn_recommendation_tpu.parallel.halo import (
 )
 from gcn_recommendation_tpu.parallel.spmd import (
     ShardedTrainer,
+    evaluate_sharded,
     sharded_topk_eval_batch,
     shard_params,
 )
 
 __all__ = [
     "ShardedTrainer",
+    "evaluate_sharded",
     "sharded_topk_eval_batch",
     "shard_params",
     "HaloTrainer",

@@ -35,7 +35,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gcn_recommendation_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
 from gcn_recommendation_tpu.ops.spmm import DeviceGraph
-from gcn_recommendation_tpu.ops.topk import masked_topk
+from gcn_recommendation_tpu.ops.topk import MASK_VALUE, masked_topk
 from gcn_recommendation_tpu.train.trainer import Trainer
 
 
@@ -128,7 +128,20 @@ class ShardedTrainer(Trainer):
     def validate(self, params):
         if self.mesh.shape[MODEL_AXIS] <= 1:
             return super().validate(params)
-        fu, fi, *_ = self.model.apply(params, self.arrays.graph)
+        from gcn_recommendation_tpu.train.evaluate import (
+            apply_cached,
+            build_eval_batches,
+        )
+
+        fu, fi, *_ = apply_cached(self.model, params, self.arrays.graph)
+        if self._eval_batches is None:
+            self._eval_batches = build_eval_batches(
+                self.bundle.val,
+                self.bundle.train,
+                self.bundle.num_users,
+                self.bundle.num_items,
+                self.config.eval_user_batch,
+            )
         return evaluate_sharded(
             self.mesh,
             fu,
@@ -139,6 +152,7 @@ class ShardedTrainer(Trainer):
             self.bundle.num_items,
             self.config.top_k,
             self.config.eval_user_batch,
+            batches=self._eval_batches,
         )
 
 
@@ -146,11 +160,21 @@ class ShardedTrainer(Trainer):
 # Distributed top-k (explicit shard_map)
 # ---------------------------------------------------------------------------
 
-def _local_masked_topk(u_emb, item_shard, filter_idx, k, shard_items, axis):
-    """Per-shard masked top-k with global item indices."""
+def _local_masked_topk(
+    u_emb, item_shard, filter_idx, k, shard_items, axis, num_valid_items=None
+):
+    """Per-shard masked top-k with global item indices.
+
+    ``num_valid_items`` (static), when given, masks the zero pad rows at
+    global column >= num_valid_items by index comparison — cheaper than
+    carrying the pad ids in every user's filter list.
+    """
     idx = jax.lax.axis_index(axis)
     offset = idx * shard_items
     scores = jnp.dot(u_emb, item_shard.T, preferred_element_type=jnp.float32)
+    if num_valid_items is not None:
+        col_global = offset + jnp.arange(shard_items, dtype=jnp.int32)
+        scores = jnp.where(col_global[None, :] >= num_valid_items, MASK_VALUE, scores)
     # translate global filter ids into this shard's local range; out-of-range
     # ids map to shard_items (the pad index masked_topk ignores)
     local_filter = filter_idx - offset
@@ -219,6 +243,65 @@ def pad_rows(x: np.ndarray, multiple: int) -> np.ndarray:
     return np.concatenate([x, pad], axis=0)
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_eval_scan(mesh: Mesh, k: int, shard_items: int, num_items: int):
+    """Jitted shard_map scan over stacked eval batches: the whole tier —
+    score, mask, local top-k, all-gather merge, hit/NDCG reduction — runs
+    as ONE device dispatch and returns three scalars.
+
+    Mirrors ops/topk.py::topk_eval_scan; the per-batch dispatch loop paid
+    a host round trip per 1024 users (~110 ms on the remote tunnel), plus
+    a host-side metric pass.  Cached per (mesh, k, shard, catalog)."""
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(MODEL_AXIS, None), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        # after the all_gather every shard computes the identical merge and
+        # metric sums, so the outputs are replicated even though the VMA
+        # analysis can't see it
+        check_vma=False,
+    )
+    def run(fu, item_shard, users, true_items, filt, valid):
+        def body(carry, batch):
+            us, ts, fs, vs = batch
+            u = jnp.take(fu, us, axis=0)
+            vals, gidx = _local_masked_topk(
+                u, item_shard, fs, k, shard_items, MODEL_AXIS,
+                num_valid_items=num_items,
+            )
+            all_vals = jax.lax.all_gather(vals, MODEL_AXIS)  # [m, B, k]
+            all_idx = jax.lax.all_gather(gidx, MODEL_AXIS)
+            m = all_vals.shape[0]
+            b = u.shape[0]
+            cand_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(b, m * k)
+            cand_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(b, m * k)
+            _, pos = jax.lax.top_k(cand_vals, k)
+            best_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
+            # hit/NDCG@k, main.py:430-438 semantics
+            hit_matrix = best_idx == ts[:, None]
+            hit = jnp.any(hit_matrix, axis=1)
+            rank = jnp.argmax(hit_matrix, axis=1)
+            ndcg = jnp.where(
+                hit, 1.0 / jnp.log2(rank.astype(jnp.float32) + 2.0), 0.0
+            )
+            vf = vs.astype(jnp.float32)
+            return (
+                carry[0] + jnp.sum(hit.astype(jnp.float32) * vf),
+                carry[1] + jnp.sum(ndcg * vf),
+                carry[2] + jnp.sum(vf),
+            ), None
+
+        init = (jnp.float32(0), jnp.float32(0), jnp.float32(0))
+        (r, n, c), _ = jax.lax.scan(
+            body, init, (users, true_items, filt, valid)
+        )
+        return r, n, c
+
+    return jax.jit(run)
+
+
 def evaluate_sharded(
     mesh: Mesh,
     fu: jax.Array,          # [U, d] final user embeddings
@@ -229,60 +312,41 @@ def evaluate_sharded(
     num_items: int,
     k: int,
     batch_size: int = 1024,
+    batches=None,
 ):
     """Leave-one-out Recall/NDCG@k with the distributed top-k.
 
-    Same protocol as train.evaluate (main.py:404-439 semantics) but the
-    scoring runs through sharded_topk_eval_batch: items row-sharded over
-    the model axis, local top-k + all-gather merge.
+    Same protocol as train.evaluate (main.py:404-439 semantics), items
+    row-sharded over the model axis, local top-k + all-gather merge.
+    Batches come from train/evaluate.py::build_eval_batches (two filter
+    tiers, padded static shapes) and each tier runs as one scanned
+    dispatch; pass prebuilt ``batches`` to reuse them across validations.
     """
-    from gcn_recommendation_tpu.data.sampler import membership_arrays
-    from gcn_recommendation_tpu.train.evaluate import dedup_eval_users
+    from gcn_recommendation_tpu.train.evaluate import build_eval_batches
 
-    users, true_items = dedup_eval_users(eval_inter)
-    if len(users) == 0:
+    if batches is None:
+        batches = build_eval_batches(
+            eval_inter, filter_inter, num_users, num_items, batch_size
+        )
+    if not batches:
         return 0.0, 0.0
 
     n_model = mesh.shape[MODEL_AXIS]
-    items_pad = pad_rows(np.asarray(fi), n_model * 8)
-    i_pad = items_pad.shape[0]
-    # the zero pad rows must never win: mask them for every user
-    pad_ids = np.arange(num_items, i_pad, dtype=np.int32)
-    items_pad_d = jnp.asarray(items_pad)
-
-    f_ptr, f_items = membership_arrays(
-        filter_inter.user_idx, filter_inter.item_idx, num_users
-    )
-    deg = f_ptr[1:] - f_ptr[:-1]
-    fmax = max(1, int(deg[users].max())) if len(users) else 1
-    fwidth = fmax + len(pad_ids)
+    i, d = fi.shape
+    i_pad = -(-i // (n_model * 8)) * n_model * 8
+    fi = jnp.asarray(fi)
+    if i_pad != i:
+        fi = jnp.concatenate([fi, jnp.zeros((i_pad - i, d), fi.dtype)])
+    item_sharded = jax.device_put(fi, NamedSharding(mesh, P(MODEL_AXIS, None)))
+    fu_repl = jax.device_put(jnp.asarray(fu), NamedSharding(mesh, P()))
+    run = _sharded_eval_scan(mesh, k, i_pad // n_model, num_items)
 
     recall_sum = ndcg_sum = count = 0.0
-    for start in range(0, len(users), batch_size):
-        bu = users[start : start + batch_size]
-        bt = true_items[start : start + batch_size]
-        b = len(bu)
-        pad = batch_size - b
-        filt = np.full((batch_size, fwidth), i_pad, dtype=np.int32)
-        lens = deg[bu]
-        rows = np.repeat(np.arange(b), lens)
-        offs = np.cumsum(lens) - lens
-        cols = np.arange(int(lens.sum())) - np.repeat(offs, lens)
-        flat = np.repeat(f_ptr[bu], lens) + cols
-        filt[rows, cols] = f_items[flat]
-        filt[:, fmax:] = pad_ids[None, :]
-
-        bu_p = np.concatenate([bu, np.zeros(pad, np.int32)])
-        u_batch = jnp.take(fu, jnp.asarray(bu_p), axis=0)
-        _, idx = sharded_topk_eval_batch(
-            mesh, u_batch, items_pad_d, jnp.asarray(filt), k
-        )
-        idx = np.asarray(idx)[:b]
-        hit_matrix = idx == bt[:, None]
-        hit = hit_matrix.any(axis=1)
-        pos = hit_matrix.argmax(axis=1)
-        recall_sum += float(hit.sum())
-        ndcg_sum += float(np.where(hit, 1.0 / np.log2(pos + 2.0), 0.0).sum())
-        count += b
-
+    for bu, bt, filt, valid in batches:
+        r, n, c = run(fu_repl, item_sharded, bu, bt, filt, valid)
+        recall_sum += float(r)
+        ndcg_sum += float(n)
+        count += float(c)
+    if count == 0:
+        return 0.0, 0.0
     return recall_sum / count, ndcg_sum / count
