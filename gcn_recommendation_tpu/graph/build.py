@@ -359,30 +359,54 @@ def build_normalized_adjacency(
     )
 
 
-def build_chunked_ell(graph: Graph, num_chunks: int):
-    """Rebuild the non-hub ELL view with source-chunked neighbor lists.
+def build_chunked_ell(
+    graph: Graph, num_chunks: int, num_dest_slices: Optional[int] = None
+):
+    """Rebuild the non-hub ELL view with source-chunked, destination-sliced
+    neighbor lists.
 
-    Motivation (measured, PERF.md "gather knee"): the TPU gather rate is
-    ~2.5 ns/row when the source table is <= ~51 MB but ~5.3 ns/row above
-    — so for large graphs, gathering from per-chunk sub-tables of the
-    embedding block is ~1.8x faster even though rows/edges are identical.
+    Motivation (measured, PERF.md "gather knee"): the TPU row-gather rate
+    is bimodal on the source table's ROW COUNT — ~2.5 ns/row under
+    ~200k rows, ~5.3 ns/row above.  Two consequences:
 
-    Each destination row is split into up to ``num_chunks`` sub-rows, one
-    per source chunk (chunk c covers source ids
-    ``[c*chunk_rows, (c+1)*chunk_rows)`` with
-    ``chunk_rows = ceil(num_nodes/num_chunks)``); each chunk's sub-rows
-    are degree-bucketed independently with chunk-local neighbor ids.
-    Hub rows keep the graph's global dense path.
+    * **Source chunks**: each destination row is split into up to
+      ``num_chunks`` sub-rows, one per source chunk (chunk c covers
+      source ids ``[c*chunk_rows, (c+1)*chunk_rows)`` with
+      ``chunk_rows = ceil(num_nodes/num_chunks)``), so neighbor gathers
+      read per-chunk sub-tables of the embedding block — under the knee.
+    * **Destination slices**: the per-chunk partial outputs must be
+      merged (summed) across chunks, and each merge is itself a gather
+      from the chunk's bucket-output "parts" table — which at large N is
+      *also* above the knee.  Slicing destinations into node-id ranges
+      of ``slice_rows = ceil(num_nodes/num_dest_slices)`` keeps every
+      parts table under the knee, and the slice outputs concatenate in
+      node order directly.  Padding is unchanged (a destination's
+      per-chunk degree doesn't depend on the slicing).
 
-    Returns (per_chunk_buckets, per_chunk_gather_idx, dense_gather_idx):
-    ``per_chunk_buckets[c]`` is a list of EllBucket with chunk-local
-    ``nbr_idx``; ``per_chunk_gather_idx[c]`` maps every node to its
-    output row among chunk c's bucket outputs (trailing zeros row if the
-    node has no neighbors in chunk c); ``dense_gather_idx`` maps hub
-    nodes to their dense-output rows (trailing zeros row otherwise).
+    Note the tempting alternative — composing the merge permutation into
+    the *next* layer's neighbor indices ("parts-space propagation") —
+    does not work: the merged output is a SUM of per-chunk parts tables
+    (``out[s] = Σ_c parts_c[gidx_c[s]]``), so by linearity every
+    downstream edge gather would have to read all C parts tables,
+    multiplying edge work by the chunk count.
+
+    Each (source chunk, destination slice) cell is degree-bucketed
+    independently with chunk-local neighbor ids and slice-local
+    destination rows.  Hub rows keep the graph's global dense path.
+
+    Returns (per_cell_buckets, per_cell_gather_idx, dense_gather_idx):
+    ``per_cell_buckets[c][t]`` is a list of EllBucket with chunk-local
+    ``nbr_idx``; ``per_cell_gather_idx[c][t]`` maps every node of slice
+    t (slice-local) to its output row among cell (c, t)'s bucket outputs
+    (trailing zeros row if the node has no neighbors in chunk c);
+    ``dense_gather_idx`` maps hub nodes to their dense-output rows
+    (trailing zeros row otherwise).
     """
     n = graph.num_nodes
+    if num_dest_slices is None:
+        num_dest_slices = num_chunks
     chunk_rows = -(-n // num_chunks)
+    slice_rows = -(-n // num_dest_slices)
     dst = graph.dst[: graph.nnz].astype(np.int64)
     src = graph.src[: graph.nnz].astype(np.int64)
     w = graph.weight[: graph.nnz]
@@ -393,25 +417,35 @@ def build_chunked_ell(graph: Graph, num_chunks: int):
     dst, src, w = dst[keep], src[keep], w[keep]
     chunk_of = src // chunk_rows
 
-    per_chunk_buckets = []
-    per_chunk_gidx = []
+    per_cell_buckets = []
+    per_cell_gidx = []
     max_deg = int(np.bincount(dst, minlength=n).max()) if len(dst) else 0
+    slice_edges = np.arange(num_dest_slices + 1, dtype=np.int64) * slice_rows
     for c in range(num_chunks):
         m = chunk_of == c
         # dst-major order is preserved by boolean selection
-        buckets, gidx, dn, dm = bucket_by_degree(
-            dst[m],
-            src[m] - c * chunk_rows,
-            w[m],
-            n,
-            dense_threshold=max_deg + 1,  # hubs handled globally
-            num_src_nodes=chunk_rows,
-        )
-        assert len(dn) == 0
-        per_chunk_buckets.append(buckets)
-        per_chunk_gidx.append(gidx)
+        dst_c, src_c, w_c = dst[m], src[m] - c * chunk_rows, w[m]
+        bounds = np.searchsorted(dst_c, slice_edges)
+        cell_buckets = []
+        cell_gidx = []
+        for t in range(num_dest_slices):
+            lo, hi = bounds[t], bounds[t + 1]
+            rows_t = min(slice_rows, n - t * slice_rows)
+            buckets, gidx, dn, _ = bucket_by_degree(
+                dst_c[lo:hi] - t * slice_rows,
+                src_c[lo:hi],
+                w_c[lo:hi],
+                rows_t,
+                dense_threshold=max_deg + 1,  # hubs handled globally
+                num_src_nodes=chunk_rows,
+            )
+            assert len(dn) == 0
+            cell_buckets.append(buckets)
+            cell_gidx.append(gidx)
+        per_cell_buckets.append(cell_buckets)
+        per_cell_gidx.append(cell_gidx)
 
     h = len(graph.dense_node_ids)
     dense_gidx = np.full(n, h, dtype=np.int32)  # default: trailing zeros row
     dense_gidx[graph.dense_node_ids] = np.arange(h, dtype=np.int32)
-    return per_chunk_buckets, per_chunk_gidx, dense_gidx
+    return per_cell_buckets, per_cell_gidx, dense_gidx

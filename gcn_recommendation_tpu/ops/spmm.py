@@ -193,17 +193,19 @@ def num_chunks_for(num_nodes: int) -> int:
 
 
 class ChunkedDeviceGraph(NamedTuple):
-    """Device-resident source-chunked adjacency (pytree of jnp arrays).
+    """Device-resident source-chunked, destination-sliced adjacency
+    (pytree of jnp arrays).
 
-    ``chunk_bucket_idx[c]`` holds chunk-local neighbor ids; the chunk
-    count and chunk row span are recovered from the pytree structure and
-    the embedding shape (``chunk_rows = ceil(N / C)``), so nothing here
-    is a static scalar.
+    ``chunk_bucket_idx[c][t]`` holds chunk-local neighbor ids for
+    destination slice t; ``chunk_gather_idx[c][t]`` is slice-local.  The
+    chunk/slice counts and chunk row span are recovered from the pytree
+    structure and the embedding shape (``chunk_rows = ceil(N / C)``), so
+    nothing here is a static scalar.
     """
 
-    chunk_bucket_idx: Tuple[Tuple[jax.Array, ...], ...]
-    chunk_bucket_w: Tuple[Tuple[jax.Array, ...], ...]
-    chunk_gather_idx: Tuple[jax.Array, ...]   # [C] x [num_nodes]
+    chunk_bucket_idx: Tuple[Tuple[Tuple[jax.Array, ...], ...], ...]
+    chunk_bucket_w: Tuple[Tuple[Tuple[jax.Array, ...], ...], ...]
+    chunk_gather_idx: Tuple[Tuple[jax.Array, ...], ...]  # [C][S] x [slice_rows_t]
     dense_mat: jax.Array                       # [H, num_nodes]
     dense_gather_idx: jax.Array                # [num_nodes] -> H rows + zeros
 
@@ -215,19 +217,28 @@ def to_device_chunked_graph(
 
     if dense_dtype is None:
         dense_dtype = compute_dtype
-    per_chunk_buckets, per_chunk_gidx, dense_gidx = build_chunked_ell(
+    per_cell_buckets, per_cell_gidx, dense_gidx = build_chunked_ell(
         g, num_chunks
     )
     return ChunkedDeviceGraph(
         chunk_bucket_idx=tuple(
-            tuple(jnp.asarray(b.nbr_idx) for b in buckets)
-            for buckets in per_chunk_buckets
+            tuple(
+                tuple(jnp.asarray(b.nbr_idx) for b in buckets)
+                for buckets in cell_buckets
+            )
+            for cell_buckets in per_cell_buckets
         ),
         chunk_bucket_w=tuple(
-            tuple(jnp.asarray(b.nbr_w, dtype=compute_dtype) for b in buckets)
-            for buckets in per_chunk_buckets
+            tuple(
+                tuple(jnp.asarray(b.nbr_w, dtype=compute_dtype) for b in buckets)
+                for buckets in cell_buckets
+            )
+            for cell_buckets in per_cell_buckets
         ),
-        chunk_gather_idx=tuple(jnp.asarray(gi) for gi in per_chunk_gidx),
+        chunk_gather_idx=tuple(
+            tuple(jnp.asarray(gi) for gi in cell_gidx)
+            for cell_gidx in per_cell_gidx
+        ),
         dense_mat=jnp.asarray(g.dense_mat, dtype=dense_dtype),
         dense_gather_idx=jnp.asarray(dense_gidx),
     )
@@ -238,25 +249,31 @@ def _chunked_matvec(
 ):
     n, d = emb.shape
     c = len(chunk_gather_idx)
+    s = len(chunk_gather_idx[0])
     chunk_rows = -(-n // c)
     pad = c * chunk_rows - n
     src = jnp.concatenate([emb, jnp.zeros((pad, d), emb.dtype)]) if pad else emb
 
     # cross-chunk/hub partial sums accumulate in f32 even in bf16 storage
     # mode — same invariant as the plain ELL reductions (a bf16 acc would
-    # round each destination row C+1 times); one cast at the end
-    acc = None
+    # round each destination row C+1 times); one cast at the end.
+    # Per-destination-slice accumulators: each cell's merge gather sources
+    # a parts table of <= slice_rows rows (under the gather knee), and the
+    # slice outputs concatenate directly in node order.
+    slice_acc = [None] * s
     for ci in range(c):
         sub = jax.lax.dynamic_slice_in_dim(src, ci * chunk_rows, chunk_rows, 0)
-        parts = []
-        for idx, w in zip(chunk_bucket_idx[ci], chunk_bucket_w[ci]):
-            gathered = jnp.take(sub, idx, axis=0)
-            parts.append(
-                jnp.sum(gathered * w[..., None], axis=1, dtype=jnp.float32)
-            )
-        parts.append(jnp.zeros((1, d), jnp.float32))
-        out_c = jnp.concatenate(parts, axis=0)[chunk_gather_idx[ci]]
-        acc = out_c if acc is None else acc + out_c
+        for ti in range(s):
+            parts = []
+            for idx, w in zip(chunk_bucket_idx[ci][ti], chunk_bucket_w[ci][ti]):
+                gathered = jnp.take(sub, idx, axis=0)
+                parts.append(
+                    jnp.sum(gathered * w[..., None], axis=1, dtype=jnp.float32)
+                )
+            parts.append(jnp.zeros((1, d), jnp.float32))
+            out_ct = jnp.concatenate(parts, axis=0)[chunk_gather_idx[ci][ti]]
+            slice_acc[ti] = out_ct if slice_acc[ti] is None else slice_acc[ti] + out_ct
+    acc = jnp.concatenate(slice_acc, axis=0) if s > 1 else slice_acc[0]
     if dense_mat.shape[0]:
         hub_rows = jnp.dot(
             dense_mat, emb.astype(dense_mat.dtype),
