@@ -8,10 +8,12 @@ Protocol parity with reference evaluate() (main.py:404-439):
 * per user batch: dense scores, seen-item masking, top-k, hit/NDCG;
 * metric = mean over evaluated users.
 
-TPU-native: batches are padded to static shapes, stacked per filter
-tier, and the whole score->mask->topk->metric pipeline for a tier runs
-as ONE scanned device dispatch (ops/topk.py::topk_eval_scan); only
-three scalars come back to the host per tier.
+TPU-native: batches are padded to static shapes, stacked per
+filter-width tier (a geometric ladder, so heavy users don't inflate
+everyone's padding), and the whole score->mask->topk->metric pipeline
+for a tier runs as ONE scanned device dispatch
+(ops/topk.py::topk_eval_scan); only three scalars come back to the
+host per tier.
 """
 
 from __future__ import annotations
@@ -56,12 +58,17 @@ def build_eval_batches(
     dispatch — the per-batch dispatch loop paid a full host round trip
     per 1024 users, which dominates on the remote-tunnel TPU.
 
-    Two-tier batching by filter-list width: users whose seen-set fits
+    Multi-tier batching by filter-list width: users whose seen-set fits
     the comparison-mask crossover (``ops.topk.compare_max_f`` — scales
     inversely with catalog size) get narrow filter arrays and the
-    scatter-free masking path; the power-law tail of heavy users goes
-    through wide batches with scatter masking.  The metric is a mean
-    over users, so regrouping doesn't change it.
+    scatter-free masking path; heavier users are laddered into
+    geometric (x4) width tiers so nobody pads to the global power-law
+    max — a single wide tier padded every heavy user's filter row to
+    the heaviest user's seen-count, which at 500k-user scale meant
+    multi-GB host arrays/uploads *and* max-width scatter masking for
+    all of them.  Tiers with fewer than one batch of users coalesce
+    upward (fewer dispatches/compiles).  The metric is a mean over
+    users, so regrouping doesn't change it.
     """
     users, true_items = dedup_eval_users(eval_inter)
     if len(users) == 0:
@@ -73,11 +80,32 @@ def build_eval_batches(
     )
     deg = f_ptr[1:] - f_ptr[:-1]
 
-    narrow = deg[users] <= compare_max_f(num_items)
-    tiers = [t for t in (
-        (users[narrow], true_items[narrow]),
-        (users[~narrow], true_items[~narrow]),
-    ) if len(t[0])]
+    # width-cap ladder: compare tier, then geometric scatter tiers
+    c0 = compare_max_f(num_items)
+    deg_u = deg[users]
+    max_deg_u = int(deg_u.max()) if len(users) else 1
+    caps = [c0]
+    w = 32
+    while w <= c0:
+        w *= 4
+    while w < max_deg_u:
+        caps.append(w)
+        w *= 4
+    if caps[-1] < max_deg_u:
+        caps.append(max_deg_u)
+
+    tier_of = np.searchsorted(np.asarray(caps, dtype=np.int64), deg_u)
+    counts = np.bincount(tier_of, minlength=len(caps))
+    for i in range(len(caps) - 1):  # coalesce sub-batch tiers upward
+        if 0 < counts[i] < batch_size:
+            tier_of[tier_of == i] = i + 1
+            counts[i + 1] += counts[i]
+            counts[i] = 0
+    tiers = [
+        (users[tier_of == i], true_items[tier_of == i])
+        for i in range(len(caps))
+        if counts[i]
+    ]
 
     stacks = []
     for t_users, t_items in tiers:

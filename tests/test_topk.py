@@ -220,3 +220,59 @@ def test_evaluate_embeddings_two_tier_widths():
         ndcgs.append(1.0 / np.log2(int(np.where(top == t)[0][0]) + 2) if hit else 0.0)
     np.testing.assert_allclose(recall, np.mean(recalls), rtol=1e-6)
     np.testing.assert_allclose(ndcg, np.mean(ndcgs), rtol=1e-5)
+
+
+def test_eval_batches_multi_tier_ladder():
+    """Heavy users ladder into geometric width tiers instead of one
+    global-max wide tier; the metric must still match a per-user numpy
+    reference, and no tier's filter width may pad to the global max."""
+    from gcn_recommendation_tpu.data.loader import Interactions
+    from gcn_recommendation_tpu.ops.topk import compare_max_f
+    from gcn_recommendation_tpu.train.evaluate import (
+        build_eval_batches,
+        evaluate_batches,
+    )
+
+    rng = np.random.default_rng(7)
+    nu, ni, d, k = 9, 3000, 8, 5
+    c0 = compare_max_f(ni)
+    # 3 users per tier: compare tier, one mid scatter tier, the top tier
+    degs = [3, 3, 3, c0 + 40, c0 + 50, c0 + 60, 1500, 1600, 1700]
+    fu = rng.standard_normal((nu, d)).astype(np.float32)
+    fi = rng.standard_normal((ni, d)).astype(np.float32)
+
+    tr_u, tr_i = [], []
+    for u, n_seen in enumerate(degs):
+        items = rng.choice(ni, size=n_seen, replace=False)
+        tr_u.extend([u] * n_seen)
+        tr_i.extend(items.tolist())
+    train = Interactions(np.asarray(tr_u, np.int32), np.asarray(tr_i, np.int32))
+    val = Interactions(
+        np.arange(nu, dtype=np.int32),
+        np.asarray([int(rng.integers(0, ni)) for _ in range(nu)], np.int32),
+    )
+
+    batches = build_eval_batches(val, train, nu, ni, batch_size=2)
+    assert len(batches) >= 3  # ladder actually split the users
+    widths = sorted(b[2].shape[-1] for b in batches)
+    assert widths[0] <= c0            # compare tier stayed narrow
+    assert widths[-2] < max(degs)     # mid tiers don't pad to the global max
+    total_rows = sum(int(np.asarray(b[3]).sum()) for b in batches)
+    assert total_rows == nu           # every user evaluated exactly once
+
+    recall, ndcg = evaluate_batches(jnp.asarray(fu), jnp.asarray(fi), batches, k)
+
+    seen = {}
+    for u, i in zip(train.user_idx, train.item_idx):
+        seen.setdefault(int(u), []).append(int(i))
+    recalls, ndcgs = [], []
+    for u in range(nu):
+        s = fu[u] @ fi.T
+        s[seen[u]] = -1e10
+        top = np.argsort(-s, kind="stable")[:k]
+        t = int(val.item_idx[u])
+        hit = t in top
+        recalls.append(float(hit))
+        ndcgs.append(1.0 / np.log2(int(np.where(top == t)[0][0]) + 2) if hit else 0.0)
+    np.testing.assert_allclose(recall, np.mean(recalls), rtol=1e-6)
+    np.testing.assert_allclose(ndcg, np.mean(ndcgs), rtol=1e-5)
