@@ -42,12 +42,19 @@ def default_width_schedule(deg: int) -> int:
     """ELL bucket width for a node of degree ``deg``.
 
     Chosen to bound padding waste (~10%) while keeping the bucket count
-    (= kernel count) small: multiples of 8 up to 64, of 32 up to 256, of
-    128 up to 1024, powers of two beyond.  (Pure powers of two waste ~40%
-    on real power-law graphs; measured on the bench workload.)
+    (= kernel count) small: 1/2/4 for degrees <= 4 (viable because the
+    column-sum formulation sidesteps the sub-sublane tile-padding cliff
+    — ops/spmm.py::COLSUM_MAX_WIDTH, measured in tools/exp_min_width.py),
+    then multiples of 8 up to 64, of 32 up to 256, of 128 up to 1024,
+    powers of two beyond.  (Pure powers of two waste ~40% on real
+    power-law graphs; measured on the bench workload.)
     """
+    if deg <= 2:
+        return max(1, deg)
+    if deg <= 4:
+        return 4
     if deg <= 64:
-        return max(8, -(-deg // 8) * 8)
+        return -(-deg // 8) * 8
     if deg <= 256:
         return -(-deg // 32) * 32
     if deg <= 1024:
@@ -210,7 +217,10 @@ def bucket_by_degree(
     # vectorized width schedule (see default_width_schedule)
     width_class = np.zeros(num_nodes, dtype=np.int64)
     m = deg > 0
-    width_class[m] = np.maximum(8, ((deg[m] + 7) // 8) * 8)
+    width_class[m] = ((deg[m] + 7) // 8) * 8
+    width_class[deg == 1] = 1
+    width_class[deg == 2] = 2
+    width_class[(deg == 3) | (deg == 4)] = 4
     m = deg > 64
     width_class[m] = ((deg[m] + 31) // 32) * 32
     m = deg > 256

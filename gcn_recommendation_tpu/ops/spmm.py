@@ -91,18 +91,42 @@ def propagate_coo(
     )
 
 
+# Crossover between the fused [nb, w, d] gather+reduce and a sum of w
+# column-wise width-1 gathers (measured on v5e, tools/exp_min_width.py):
+# below 8 the fused form pays (8, 128) tile padding on the [nb, w(, d)]
+# intermediates — colsum runs 4.9x / 3.9x faster at w = 2 / 4 and hits
+# 1.67-1.87 ns/gathered-row, *below* the ~2.5 ns fused gather wall; the
+# fused form wins again at w >= 8 (3.46 vs 4.23 ns/row).  This is also
+# what makes sub-8 bucket widths worthwhile at all (graph/build.py's
+# width schedule emits 1/2/4 buckets): with the fused form, a width-4
+# bucket costs as much as a width-8 one.
+COLSUM_MAX_WIDTH = 4
+
+
+def _bucket_reduce(emb, idx, w):
+    """One ELL bucket's reduction ``sum_j emb[idx[:, j]] * w[:, j]``.
+
+    Returns f32 rows (accumulation stays f32 even in bf16 storage mode:
+    the reduction runs up to width-2048, where bf16 loses ~2 decimal
+    digits; f32 accumulators are free on the VPU).  Formulation switches
+    on the bucket width, see COLSUM_MAX_WIDTH.
+    """
+    width = idx.shape[1]
+    if width <= COLSUM_MAX_WIDTH:
+        acc = None
+        for j in range(width):
+            t = jnp.take(emb, idx[:, j], axis=0) * w[:, j][:, None]
+            t = t.astype(jnp.float32)
+            acc = t if acc is None else acc + t
+        return acc
+    gathered = jnp.take(emb, idx, axis=0)              # [nb, width, d]
+    return jnp.sum(gathered * w[..., None], axis=1, dtype=jnp.float32)
+
+
 def _ell_matvec(emb, bucket_nbr_idx, bucket_nbr_w, gather_idx, dense_mat):
     parts = []
     for idx, w in zip(bucket_nbr_idx, bucket_nbr_w):
-        gathered = jnp.take(emb, idx, axis=0)          # [nb, width, d]
-        # accumulate in f32 even when emb/w are bf16 (bf16 storage mode):
-        # the reduction runs up to width-2048, where bf16 accumulation
-        # loses ~2 decimal digits; f32 accumulators are free on the VPU
-        parts.append(
-            jnp.sum(gathered * w[..., None], axis=1, dtype=jnp.float32).astype(
-                emb.dtype
-            )
-        )
+        parts.append(_bucket_reduce(emb, idx, w).astype(emb.dtype))
     if dense_mat.shape[0]:
         # hub rows: one dense MXU matmul replaces the power-law gather tail
         parts.append(
@@ -266,10 +290,7 @@ def _chunked_matvec(
         for ti in range(s):
             parts = []
             for idx, w in zip(chunk_bucket_idx[ci][ti], chunk_bucket_w[ci][ti]):
-                gathered = jnp.take(sub, idx, axis=0)
-                parts.append(
-                    jnp.sum(gathered * w[..., None], axis=1, dtype=jnp.float32)
-                )
+                parts.append(_bucket_reduce(sub, idx, w))
             parts.append(jnp.zeros((1, d), jnp.float32))
             out_ct = jnp.concatenate(parts, axis=0)[chunk_gather_idx[ci][ti]]
             slice_acc[ti] = out_ct if slice_acc[ti] is None else slice_acc[ti] + out_ct

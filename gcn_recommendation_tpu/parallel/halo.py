@@ -157,10 +157,11 @@ def shard_ell(graph: Graph, n_shards: int, dense_threshold: int = 128) -> Sharde
 
 def _local_propagate(full_emb, bucket_nbr_idx, bucket_nbr_w, gather_idx, dense_mat):
     """One shard's output rows from the gathered full embedding block."""
+    from gcn_recommendation_tpu.ops.spmm import _bucket_reduce
+
     parts = []
     for idx, wt in zip(bucket_nbr_idx, bucket_nbr_w):
-        gathered = jnp.take(full_emb, idx, axis=0)
-        parts.append(jnp.sum(gathered * wt[..., None], axis=1))
+        parts.append(_bucket_reduce(full_emb, idx, wt).astype(full_emb.dtype))
     if dense_mat.shape[0]:
         parts.append(
             jnp.dot(dense_mat, full_emb, preferred_element_type=jnp.float32).astype(
