@@ -60,12 +60,26 @@ def main():
             out = t if out is None else out + t
         return out
 
+    def colT(e, idx, wts):
+        # like colsum but idx/wts stored transposed [w, nb]: each column
+        # slice is a contiguous row, not a sublane-strided [:, j] slice
+        out = None
+        for j in range(idx.shape[0]):
+            t = jnp.take(e, idx[j], axis=0) * wts[j][:, None]
+            t = t.astype(jnp.float32)
+            out = t if out is None else out + t
+        return out
+
     def time_width(w: int, nb: int, form):
-        idx = jnp.asarray(
-            rng.integers(0, SRC_ROWS, size=(nb, w), dtype=np.int64).astype(np.int32)
-        )
-        wts = jnp.asarray(rng.standard_normal((nb, w)).astype(np.float32) * 1e-3)
-        fn = fused if form == "fused" else colsum
+        idx_np = rng.integers(0, SRC_ROWS, size=(nb, w), dtype=np.int64).astype(np.int32)
+        wts_np = rng.standard_normal((nb, w)).astype(np.float32) * 1e-3
+        if form == "colT":
+            idx = jnp.asarray(idx_np.T.copy())
+            wts = jnp.asarray(wts_np.T.copy())
+        else:
+            idx = jnp.asarray(idx_np)
+            wts = jnp.asarray(wts_np)
+        fn = {"fused": fused, "colsum": colsum, "colT": colT}[form]
 
         @jax.jit
         def chain(emb, idx, wts):
@@ -96,13 +110,14 @@ def main():
         )
         return per_iter
 
-    for w in (2, 4, 8):
-        time_width(w, NB, "fused")
-        time_width(w, NB, "colsum")
-    # production-like bucket size
-    for form in ("fused", "colsum"):
-        time_width(8, 400_000, form)
-        time_width(32, 100_000, form)
+    for w in (4, 8):
+        for form in ("fused", "colsum", "colT"):
+            time_width(w, NB, form)
+    # wider buckets at smaller nb (the [nb, w, d] fused intermediate OOMs
+    # at nb=2M beyond w=8)
+    for w in (16, 32):
+        for form in ("fused", "colT"):
+            time_width(w, 500_000, form)
 
 
 if __name__ == "__main__":
