@@ -440,7 +440,9 @@ def build_chunked_ell(
         cell_gidx = []
         for t in range(num_dest_slices):
             lo, hi = bounds[t], bounds[t + 1]
-            rows_t = min(slice_rows, n - t * slice_rows)
+            # trailing slices can be empty when (S-1)*ceil(n/S) >= n
+            # (small n with many slices) — clamp instead of crashing
+            rows_t = max(0, min(slice_rows, n - t * slice_rows))
             buckets, gidx, dn, _ = bucket_by_degree(
                 dst_c[lo:hi] - t * slice_rows,
                 src_c[lo:hi],

@@ -108,11 +108,12 @@ def masked_topk_scores(
     return masked_topk(scores, filter_idx, k, strategy=strategy)
 
 
-def _topk_eval_batch(user_emb, item_emb, users, true_items, filter_idx, valid, k):
-    """Unjitted body of topk_eval_batch — reused inside the scanned
-    whole-eval dispatch (train/evaluate.py)."""
-    u = jnp.take(user_emb, users, axis=0)
-    _, topk_idx = masked_topk_scores(u, item_emb, filter_idx, k)
+def topk_hit_metrics(topk_idx, true_items, valid):
+    """(recall_sum, ndcg_sum, count) of a top-k index batch against the
+    leave-one-out held-out items — main.py:430-438 semantics (recall =
+    hit indicator, ndcg = 1/log2(pos+2) if hit else 0), masked by the
+    batch-padding ``valid`` flags.  Shared by the single-device and
+    sharded evaluators so the metric exists in exactly one place."""
     hit_matrix = topk_idx == true_items[:, None]
     hit = jnp.any(hit_matrix, axis=1)
     pos = jnp.argmax(hit_matrix, axis=1)
@@ -124,6 +125,28 @@ def _topk_eval_batch(user_emb, item_emb, users, true_items, filter_idx, valid, k
         jnp.sum(ndcg * validf),
         jnp.sum(validf),
     )
+
+
+def merge_topk_candidates(all_vals, all_idx, k):
+    """Re-select the global top-k from per-shard candidates.
+
+    ``all_vals``/``all_idx`` are [m, B, k] stacks (one slice per item
+    shard, global indices); returns ([B, k] values, [B, k] indices).
+    Shared by the per-batch and scanned sharded top-k paths."""
+    m, b, kk = all_vals.shape
+    cand_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(b, m * kk)
+    cand_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(b, m * kk)
+    best_vals, pos = jax.lax.top_k(cand_vals, k)
+    best_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
+    return best_vals, best_idx
+
+
+def _topk_eval_batch(user_emb, item_emb, users, true_items, filter_idx, valid, k):
+    """Unjitted body of topk_eval_batch — reused inside the scanned
+    whole-eval dispatch (train/evaluate.py)."""
+    u = jnp.take(user_emb, users, axis=0)
+    _, topk_idx = masked_topk_scores(u, item_emb, filter_idx, k)
+    return topk_hit_metrics(topk_idx, true_items, valid)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -35,7 +35,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gcn_recommendation_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
 from gcn_recommendation_tpu.ops.spmm import DeviceGraph
-from gcn_recommendation_tpu.ops.topk import MASK_VALUE, masked_topk
+from gcn_recommendation_tpu.ops.topk import (
+    MASK_VALUE,
+    masked_topk,
+    merge_topk_candidates,
+    topk_hit_metrics,
+)
 from gcn_recommendation_tpu.train.trainer import Trainer
 
 
@@ -222,13 +227,7 @@ def sharded_topk_eval_batch(
         # gather the k candidates from every shard and re-select
         all_vals = jax.lax.all_gather(vals, MODEL_AXIS)   # [m, B, k]
         all_idx = jax.lax.all_gather(gidx, MODEL_AXIS)
-        m = all_vals.shape[0]
-        b = u_emb.shape[0]
-        cand_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(b, m * k)
-        cand_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(b, m * k)
-        best_vals, pos = jax.lax.top_k(cand_vals, k)
-        best_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
-        return best_vals, best_idx
+        return merge_topk_candidates(all_vals, all_idx, k)
 
     return run(user_emb_batch, item_emb, filter_idx)
 
@@ -273,25 +272,9 @@ def _sharded_eval_scan(mesh: Mesh, k: int, shard_items: int, num_items: int):
             )
             all_vals = jax.lax.all_gather(vals, MODEL_AXIS)  # [m, B, k]
             all_idx = jax.lax.all_gather(gidx, MODEL_AXIS)
-            m = all_vals.shape[0]
-            b = u.shape[0]
-            cand_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(b, m * k)
-            cand_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(b, m * k)
-            _, pos = jax.lax.top_k(cand_vals, k)
-            best_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
-            # hit/NDCG@k, main.py:430-438 semantics
-            hit_matrix = best_idx == ts[:, None]
-            hit = jnp.any(hit_matrix, axis=1)
-            rank = jnp.argmax(hit_matrix, axis=1)
-            ndcg = jnp.where(
-                hit, 1.0 / jnp.log2(rank.astype(jnp.float32) + 2.0), 0.0
-            )
-            vf = vs.astype(jnp.float32)
-            return (
-                carry[0] + jnp.sum(hit.astype(jnp.float32) * vf),
-                carry[1] + jnp.sum(ndcg * vf),
-                carry[2] + jnp.sum(vf),
-            ), None
+            _, best_idx = merge_topk_candidates(all_vals, all_idx, k)
+            r, n, c = topk_hit_metrics(best_idx, ts, vs)
+            return (carry[0] + r, carry[1] + n, carry[2] + c), None
 
         init = (jnp.float32(0), jnp.float32(0), jnp.float32(0))
         (r, n, c), _ = jax.lax.scan(
@@ -318,9 +301,10 @@ def evaluate_sharded(
 
     Same protocol as train.evaluate (main.py:404-439 semantics), items
     row-sharded over the model axis, local top-k + all-gather merge.
-    Batches come from train/evaluate.py::build_eval_batches (two filter
-    tiers, padded static shapes) and each tier runs as one scanned
-    dispatch; pass prebuilt ``batches`` to reuse them across validations.
+    Batches come from train/evaluate.py::build_eval_batches (a
+    filter-width tier ladder, padded static shapes) and each tier runs
+    as one scanned dispatch; pass prebuilt ``batches`` to reuse them
+    across validations.
     """
     from gcn_recommendation_tpu.train.evaluate import build_eval_batches
 

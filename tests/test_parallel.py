@@ -110,3 +110,43 @@ def test_sharded_validate_matches_single_device(sharded_pair):
     r2, n2 = sharded.validate(params)  # distributed top-k path
     np.testing.assert_allclose(r1, r2, rtol=1e-6)
     np.testing.assert_allclose(n1, n2, rtol=1e-5)
+
+
+def test_sharded_eval_wide_tiers_match_single_device():
+    """The scanned sharded evaluator must agree with the single-device
+    evaluator when users span the full filter-width ladder — heavy
+    seen-sets exercise the scatter tiers, the global->local filter
+    translation, and the zero-pad-row index masking."""
+    from gcn_recommendation_tpu.data.loader import Interactions
+    from gcn_recommendation_tpu.ops.topk import compare_max_f
+    from gcn_recommendation_tpu.parallel.spmd import evaluate_sharded
+    from gcn_recommendation_tpu.train.evaluate import evaluate_embeddings
+
+    rng = np.random.default_rng(11)
+    nu, ni, d, k = 24, 20_000, 8, 10
+    c0 = compare_max_f(ni)
+    fu = rng.standard_normal((nu, d)).astype(np.float32)
+    fi = rng.standard_normal((ni, d)).astype(np.float32)
+
+    degs = [5] * 8 + [c0 + 200] * 8 + [1500] * 8  # narrow / mid / top tier
+    tr_u, tr_i = [], []
+    for u, n_seen in enumerate(degs):
+        items = rng.choice(ni, size=n_seen, replace=False)
+        tr_u.extend([u] * n_seen)
+        tr_i.extend(items.tolist())
+    train = Interactions(np.asarray(tr_u, np.int32), np.asarray(tr_i, np.int32))
+    val = Interactions(
+        np.arange(nu, dtype=np.int32),
+        rng.integers(0, ni, nu).astype(np.int32),
+    )
+
+    mesh = create_mesh(MeshSpec(data=2, model=4))
+    r_ref, n_ref = evaluate_embeddings(
+        jnp.asarray(fu), jnp.asarray(fi), val, train, nu, ni, k, batch_size=4
+    )
+    r_sh, n_sh = evaluate_sharded(
+        mesh, jnp.asarray(fu), jnp.asarray(fi), val, train, nu, ni, k,
+        batch_size=4,
+    )
+    np.testing.assert_allclose(r_sh, r_ref, rtol=1e-6)
+    np.testing.assert_allclose(n_sh, n_ref, rtol=1e-5)

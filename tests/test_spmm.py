@@ -267,3 +267,32 @@ def test_chunked_matvec_bf16_f32_accumulation(graph_and_dense):
     # one bf16 rounding of inputs+output: ~2^-8 relative; C+1 roundings
     # would push past this bound on 16-wide rows
     assert np.abs(np.asarray(out, np.float32) - ref).max() < 2e-2 * scale
+
+
+def test_chunked_build_more_slices_than_rows():
+    """Trailing destination slices can be empty when the slice count
+    over-divides a tiny node space ((S-1)*ceil(n/S) >= n); the builder
+    must clamp them to zero rows, and propagation must still match."""
+    import jax.numpy as jnp
+
+    from gcn_recommendation_tpu.graph.build import build_normalized_adjacency
+    from gcn_recommendation_tpu.ops.spmm import (
+        propagate,
+        to_device_chunked_graph,
+        to_device_graph,
+    )
+
+    # 3 users + 2 items + 1 brand = 6 nodes; 4 chunks -> slice_rows=2,
+    # slice 3 would span rows [6, 8) = empty
+    g = build_normalized_adjacency(
+        np.asarray([0, 1, 2, 0], np.int64),
+        np.asarray([0, 1, 0, 1], np.int64),
+        3, 2, 1,
+        item_brand_item_idx=np.asarray([0], np.int64),
+        item_brand_brand_idx=np.asarray([0], np.int64),
+        use_brand=True,
+    )
+    emb = jnp.asarray(np.random.default_rng(0).standard_normal((6, 8)).astype(np.float32))
+    plain = propagate(emb, to_device_graph(g), 6)
+    chunked = propagate(emb, to_device_chunked_graph(g, 4), 6)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(plain), rtol=1e-5, atol=1e-6)
