@@ -222,7 +222,7 @@ def _restore_best_params(config, args, model):
 
 def run_test(args) -> int:
     from gcn_recommendation_tpu.data.loader import Interactions
-    from gcn_recommendation_tpu.ops.spmm import to_device_graph
+    from gcn_recommendation_tpu.ops.spmm import to_device_graph_auto
     from gcn_recommendation_tpu.train.evaluate import evaluate
     import jax.numpy as jnp
 
@@ -239,7 +239,7 @@ def run_test(args) -> int:
     recall, ndcg = evaluate(
         model,
         params,
-        to_device_graph(
+        to_device_graph_auto(
             bundle.graph, compute_dtype=jnp.dtype(config.compute_dtype)
         ),
         bundle.test,

@@ -216,6 +216,21 @@ def num_chunks_for(num_nodes: int) -> int:
     return max(1, -(-num_nodes // GATHER_KNEE_ROWS))
 
 
+def to_device_graph_auto(g: Graph, compute_dtype=jnp.float32, dense_dtype=None):
+    """Plain or source-chunked device graph by the gather-knee rule.
+
+    Single-device entry points (trainer, test mode, serving) share this
+    so a big graph propagates at the fast chunked rate everywhere; the
+    sharded trainers keep the plain layout (row-sharding already puts
+    each device's shard under the knee)."""
+    n_chunks = num_chunks_for(g.num_nodes)
+    if n_chunks > 1:
+        return to_device_chunked_graph(
+            g, n_chunks, compute_dtype=compute_dtype, dense_dtype=dense_dtype
+        )
+    return to_device_graph(g, compute_dtype=compute_dtype, dense_dtype=dense_dtype)
+
+
 class ChunkedDeviceGraph(NamedTuple):
     """Device-resident source-chunked, destination-sliced adjacency
     (pytree of jnp arrays).

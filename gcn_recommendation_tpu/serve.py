@@ -25,7 +25,7 @@ import numpy as np
 from gcn_recommendation_tpu.data.loader import DataBundle
 from gcn_recommendation_tpu.data.sampler import membership_arrays
 from gcn_recommendation_tpu.ops.quant import quantize_rows_int8, quantized_topk_scores
-from gcn_recommendation_tpu.ops.spmm import to_device_graph
+from gcn_recommendation_tpu.ops.spmm import to_device_graph_auto
 from gcn_recommendation_tpu.ops.topk import masked_topk_scores
 
 
@@ -60,7 +60,7 @@ class Retriever:
 
         The graph is built in the model's propagation storage dtype so
         serving scores match the training-time validation scores."""
-        graph = to_device_graph(
+        graph = to_device_graph_auto(
             bundle.graph,
             compute_dtype=jnp.dtype(getattr(model, "compute_dtype", "float32")),
         )
