@@ -6,7 +6,9 @@ pipeline (ETL, bucketing, device transfer through the axon tunnel,
 epoch-scan training, full-catalog eval) holds up at production scale on
 a single v5e, and records throughput for PERF.md.
 
-Run on the TPU host:  python tools/exp_scale.py
+Run on the TPU host:  python tools/exp_scale.py [--dim D] [--layers K]
+(defaults dim-64 x 3 layers; --dim 256 --layers 4 is the north-star
+scaled config, BASELINE.json configs[4])
 """
 
 from __future__ import annotations
@@ -28,6 +30,13 @@ STEPS = 20
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--layers", type=int, default=3)
+    cli = ap.parse_args()
+
     import jax
 
     jax.config.update(
@@ -60,7 +69,8 @@ def main():
         flush=True,
     )
 
-    cfg = Config(batch_size=BATCH)
+    cfg = Config(batch_size=BATCH, embedding_dim=cli.dim, n_layers=cli.layers)
+    print(f"config: dim={cli.dim} layers={cli.layers}", flush=True)
     model = get_model("LightGCN")(
         bundle.num_users, bundle.num_items, bundle.num_brands, cfg
     )
@@ -84,7 +94,7 @@ def main():
         best = min(best, time.perf_counter() - t0)
     assert np.isfinite(l).all()
     step = best / STEPS
-    edges_per_s = 6 * g.nnz / step  # 3 fwd + 3 bwd propagations per step
+    edges_per_s = 2 * cli.layers * g.nnz / step  # K fwd + K bwd propagations
     print(
         f"train: {step*1e3:.1f} ms/step  {BATCH/step:,.0f} ex/s  "
         f"({edges_per_s/1e9:.2f}B edge-ops/s)",
