@@ -296,3 +296,18 @@ def test_chunked_build_more_slices_than_rows():
     plain = propagate(emb, to_device_graph(g), 6)
     chunked = propagate(emb, to_device_chunked_graph(g, 4), 6)
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(plain), rtol=1e-5, atol=1e-6)
+
+
+def test_to_device_graph_auto_knee_rule(graph_and_dense, monkeypatch):
+    """Below the knee -> plain DeviceGraph; above -> ChunkedDeviceGraph."""
+    from gcn_recommendation_tpu.ops import spmm
+    from gcn_recommendation_tpu.ops.spmm import (
+        ChunkedDeviceGraph,
+        DeviceGraph,
+        to_device_graph_auto,
+    )
+
+    g, _ = graph_and_dense
+    assert isinstance(to_device_graph_auto(g), DeviceGraph)
+    monkeypatch.setattr(spmm, "GATHER_KNEE_ROWS", max(1, g.num_nodes // 2))
+    assert isinstance(to_device_graph_auto(g), ChunkedDeviceGraph)

@@ -35,6 +35,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--layers", type=int, default=3)
+    ap.add_argument("--eval_batch", type=int, default=None,
+                    help="override eval_user_batch (default 1024)")
+    ap.add_argument("--chunks", type=int, default=None,
+                    help="override graph chunking: 0 = plain layout, "
+                         "N = force N source chunks; default = auto rule")
     cli = ap.parse_args()
 
     import jax
@@ -70,11 +75,20 @@ def main():
     )
 
     cfg = Config(batch_size=BATCH, embedding_dim=cli.dim, n_layers=cli.layers)
-    print(f"config: dim={cli.dim} layers={cli.layers}", flush=True)
+    if cli.eval_batch:
+        cfg.eval_user_batch = cli.eval_batch
+    print(f"config: dim={cli.dim} layers={cli.layers} chunks={cli.chunks}", flush=True)
     model = get_model("LightGCN")(
         bundle.num_users, bundle.num_items, bundle.num_brands, cfg
     )
     t0 = time.perf_counter()
+    if cli.chunks is not None:
+        # override the auto-chunk rule for A/B measurement
+        if cli.chunks == 0:
+            Trainer.graph_chunking = False
+        else:
+            import gcn_recommendation_tpu.train.trainer as _tr
+            _tr.num_chunks_for = lambda n: cli.chunks
     trainer = Trainer(cfg, model, bundle)
     trainer.steps_per_epoch = STEPS
     trainer._epoch_fn_jit = trainer._build_epoch_fn()
