@@ -240,7 +240,9 @@ def run_test(args) -> int:
         model,
         params,
         to_device_graph_auto(
-            bundle.graph, compute_dtype=jnp.dtype(config.compute_dtype)
+            bundle.graph,
+            compute_dtype=jnp.dtype(config.compute_dtype),
+            embedding_dim=config.embedding_dim,
         ),
         bundle.test,
         filt,

@@ -211,19 +211,33 @@ def propagate(emb: jax.Array, graph, num_nodes: int, *, path: str = "ell"):
 GATHER_KNEE_ROWS = 180_000
 
 
-def num_chunks_for(num_nodes: int) -> int:
-    """Chunk count so each source sub-table stays under the gather knee."""
+# The knee's fast/slow rate split only exists up to 128 lanes: at d=256
+# the above-knee gather runs ~9.4 ns/row *and* the under-knee rate pays
+# the same lane penalty, so chunking buys nothing while its merge +
+# f32-accumulator overheads scale with d.  Measured at stress scale
+# (720k nodes, d=256 4-layer): plain 2661.7 ms/step vs 2886.1 (2 chunks)
+# vs 2908.3 (4 chunks) — the auto rule therefore chunks only at d <= 128.
+CHUNK_MAX_DIM = 128
+
+
+def num_chunks_for(num_nodes: int, embedding_dim: int = 64) -> int:
+    """Chunk count so each source sub-table stays under the gather knee
+    (1 = don't chunk; always 1 for wide embeddings, see CHUNK_MAX_DIM)."""
+    if embedding_dim > CHUNK_MAX_DIM:
+        return 1
     return max(1, -(-num_nodes // GATHER_KNEE_ROWS))
 
 
-def to_device_graph_auto(g: Graph, compute_dtype=jnp.float32, dense_dtype=None):
+def to_device_graph_auto(
+    g: Graph, compute_dtype=jnp.float32, dense_dtype=None, embedding_dim: int = 64
+):
     """Plain or source-chunked device graph by the gather-knee rule.
 
     Single-device entry points (trainer, test mode, serving) share this
     so a big graph propagates at the fast chunked rate everywhere; the
     sharded trainers keep the plain layout (row-sharding already puts
     each device's shard under the knee)."""
-    n_chunks = num_chunks_for(g.num_nodes)
+    n_chunks = num_chunks_for(g.num_nodes, embedding_dim)
     if n_chunks > 1:
         return to_device_chunked_graph(
             g, n_chunks, compute_dtype=compute_dtype, dense_dtype=dense_dtype

@@ -63,6 +63,7 @@ class Retriever:
         graph = to_device_graph_auto(
             bundle.graph,
             compute_dtype=jnp.dtype(getattr(model, "compute_dtype", "float32")),
+            embedding_dim=getattr(model, "embedding_dim", 64),
         )
         fu, fi, *_ = model.apply(params, graph)
         return cls(fu, fi, bundle, quantize=quantize)

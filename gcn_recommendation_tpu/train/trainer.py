@@ -89,7 +89,7 @@ class Trainer:
         )
         self.sampler_iters = binary_search_iters(user_ptr)
         cdtype = jnp.dtype(getattr(config, "compute_dtype", "float32"))
-        n_chunks = num_chunks_for(bundle.graph.num_nodes)
+        n_chunks = num_chunks_for(bundle.graph.num_nodes, config.embedding_dim)
         if self.graph_chunking and n_chunks > 1:
             graph = to_device_chunked_graph(
                 bundle.graph, n_chunks, compute_dtype=cdtype

@@ -311,3 +311,8 @@ def test_to_device_graph_auto_knee_rule(graph_and_dense, monkeypatch):
     assert isinstance(to_device_graph_auto(g), DeviceGraph)
     monkeypatch.setattr(spmm, "GATHER_KNEE_ROWS", max(1, g.num_nodes // 2))
     assert isinstance(to_device_graph_auto(g), ChunkedDeviceGraph)
+    # wide embeddings never chunk: above-knee gathers at d > 128 pay the
+    # lane penalty either way, so chunk overheads only lose (PERF.md)
+    assert isinstance(
+        to_device_graph_auto(g, embedding_dim=256), DeviceGraph
+    )
