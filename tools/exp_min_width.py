@@ -70,6 +70,27 @@ def main():
             out = t if out is None else out + t
         return out
 
+    def colsum_grouped(e, idx, wts, group=4):
+        # width-4 column groups, each forced into its own fusion by an
+        # optimization barrier — probes whether the w<=4 colsum rate
+        # (1.67 ns/row, ABOVE the flat-gather wall) survives at w>=8
+        outs = []
+        w = idx.shape[1]
+        for g0 in range(0, w, group):
+            acc = None
+            for j in range(g0, min(g0 + group, w)):
+                t = jnp.take(e, idx[:, j], axis=0) * wts[:, j][:, None]
+                t = t.astype(jnp.float32)
+                acc = t if acc is None else acc + t
+            outs.append(jax.lax.optimization_barrier(acc))
+        total = outs[0]
+        for o in outs[1:]:
+            total = total + o
+        return total
+
+    def colsum_g2(e, idx, wts):
+        return colsum_grouped(e, idx, wts, group=2)
+
     def time_width(w: int, nb: int, form):
         idx_np = rng.integers(0, SRC_ROWS, size=(nb, w), dtype=np.int64).astype(np.int32)
         wts_np = rng.standard_normal((nb, w)).astype(np.float32) * 1e-3
@@ -79,7 +100,13 @@ def main():
         else:
             idx = jnp.asarray(idx_np)
             wts = jnp.asarray(wts_np)
-        fn = {"fused": fused, "colsum": colsum, "colT": colT}[form]
+        fn = {
+            "fused": fused,
+            "colsum": colsum,
+            "colT": colT,
+            "grp4": colsum_grouped,
+            "grp2": colsum_g2,
+        }[form]
 
         @jax.jit
         def chain(emb, idx, wts):
@@ -110,13 +137,13 @@ def main():
         )
         return per_iter
 
-    for w in (4, 8):
-        for form in ("fused", "colsum", "colT"):
+    for w in (8,):
+        for form in ("fused", "colsum", "grp4", "grp2"):
             time_width(w, NB, form)
     # wider buckets at smaller nb (the [nb, w, d] fused intermediate OOMs
     # at nb=2M beyond w=8)
-    for w in (16, 32):
-        for form in ("fused", "colT"):
+    for w in (16, 32, 64):
+        for form in ("fused", "grp4"):
             time_width(w, 500_000, form)
 
 
