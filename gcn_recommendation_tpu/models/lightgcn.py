@@ -166,7 +166,11 @@ def debug_diagnostics(model, params, graph_np, max_nodes: int = 20000, n_probe: 
         print(f"[debug] graph too large for dense diagnostics ({n} nodes)")
         return {}
     dense = np.zeros((n, n), np.float32)
-    dense[g.dst, g.src] += g.weight
+    # true edges only — the COO arrays are padded past g.nnz with
+    # (dst=n-1, src=0, w=0) sentinels, and numpy fancy-index += is
+    # last-write-wins on duplicates, so including them could zero a real
+    # edge at that position; np.add.at accumulates correctly regardless
+    np.add.at(dense, (g.dst[: g.nnz], g.src[: g.nnz]), g.weight[: g.nnz])
 
     user0 = np.asarray(params["user_embedding"], np.float32)
     item0 = np.asarray(params["item_embedding"], np.float32)

@@ -37,6 +37,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from gcn_recommendation_tpu.core.mesh import MODEL_AXIS
 from gcn_recommendation_tpu.graph.build import Graph, bucket_by_degree
+from gcn_recommendation_tpu.train.trainer import Trainer
 
 
 class ShardedEllArrays(NamedTuple):
@@ -227,126 +228,37 @@ def make_halo_propagator(mesh: Mesh, sharded: ShardedEll, n_layers: int):
     return propagate
 
 
-class HaloTrainer:
-    """Trainer variant using the explicit halo-exchange propagation.
+class HaloTrainer(Trainer):
+    """Trainer whose forward pass runs the explicit halo-exchange schedule.
 
-    Mirrors train.trainer.Trainer's API (init_state / _epoch_fn /
-    validate) but the forward pass runs through ``make_halo_propagator``
-    — the schedule you want on a real pod.  Tested against the
-    single-device trainer on the virtual CPU mesh (tests/test_halo.py).
+    Subclasses train.trainer.Trainer, overriding only how the device
+    adjacency is laid out (per-shard ELL via ``shard_ell``) and how the
+    model forward runs (``make_halo_propagator``) — the loss (including
+    the optional brand term), negative sampler, epoch scan, optimizer,
+    checkpointing and validation are all inherited, so the two paths
+    cannot diverge.  Tested against the single-device trainer on the
+    virtual CPU mesh (tests/test_halo.py).
     """
 
-    def __init__(self, config, model, bundle, mesh: Mesh):
-        import optax
+    graph_chunking = False  # shard_ell expects the plain ELL layout
 
-        from gcn_recommendation_tpu.data.sampler import (
-            binary_search_iters,
-            epoch_batches,
-            membership_arrays,
-            sample_negatives,
-        )
-        from gcn_recommendation_tpu.train.loss import bpr_loss_reg
-
-        self.config = config
-        self.model = model
-        self.bundle = bundle
+    def __init__(self, config, model, bundle, mesh: Mesh, logger=None):
         self.mesh = mesh
-        n_shards = mesh.shape[MODEL_AXIS]
-        self.sharded = shard_ell(bundle.graph, n_shards)
-        self.propagator = make_halo_propagator(mesh, self.sharded, model.n_layers)
-
-        user_ptr, flat_items = membership_arrays(
-            bundle.train.user_idx, bundle.train.item_idx, bundle.num_users
+        self.sharded = shard_ell(bundle.graph, mesh.shape[MODEL_AXIS])
+        self.propagator = make_halo_propagator(
+            mesh, self.sharded, model.n_layers
         )
-        n_iters = binary_search_iters(user_ptr)
-        self.tx = optax.adam(config.learning_rate)
-        self.n_train = len(bundle.train)
-        steps = max(1, -(-self.n_train // config.batch_size))
-        self.steps_per_epoch = min(10, steps) if config.debug else steps
+        super().__init__(config, model, bundle, logger=logger)
 
-        train_users = jnp.asarray(bundle.train.user_idx)
-        train_items = jnp.asarray(bundle.train.item_idx)
-        user_ptr_d = jnp.asarray(user_ptr)
-        flat_items_d = jnp.asarray(flat_items)
-        self._data = (train_users, train_items, user_ptr_d, flat_items_d)
+    def _device_graph(self, cdtype):
+        return self.sharded.arrays
 
-        model_ = model
-        cfg = config
-        num_items = bundle.num_items
-        npad = self.sharded.num_nodes_pad
-        n_steps = self.steps_per_epoch
-        propagator = self.propagator
-        tx = self.tx
-        n_train = self.n_train
-
-        def batch_loss(params, ell_arrays, users, pos, neg):
-            fu_all, fi_all, _, u0_all, i0_all = model_.apply_with_propagator(
-                params, lambda e: propagator(e, ell_arrays), npad
-            )
-            fu = jnp.take(fu_all, users, axis=0)
-            fp = jnp.take(fi_all, pos, axis=0)
-            fn_ = jnp.take(fi_all, neg, axis=0)
-            iu = jnp.take(u0_all, users, axis=0)
-            ip = jnp.take(i0_all, pos, axis=0)
-            in_ = jnp.take(i0_all, neg, axis=0)
-            return bpr_loss_reg(fu, fp, fn_, iu, ip, in_, cfg.weight_decay)
-
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def run_epoch(params, opt_state, key, ell_arrays, data):
-            train_users, train_items, user_ptr_d, flat_items_d = data
-            perm_key, key = jax.random.split(key)
-            batches = epoch_batches(perm_key, n_train, cfg.batch_size)[:n_steps]
-
-            def body(carry, batch_idx):
-                params, opt_state, key = carry
-                key, k1 = jax.random.split(key)
-                users = jnp.take(train_users, batch_idx)
-                pos = jnp.take(train_items, batch_idx)
-                neg = sample_negatives(
-                    k1, users, user_ptr_d, flat_items_d,
-                    num_items=num_items, n_iters=n_iters,
-                )
-                loss, grads = jax.value_and_grad(
-                    lambda p: batch_loss(p, ell_arrays, users, pos, neg)
-                )(params)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state, key), loss
-
-            (params, opt_state, _), losses = jax.lax.scan(
-                body, (params, opt_state, key), batches
-            )
-            return params, opt_state, losses
-
-        self._run_epoch = run_epoch
-
-    def init_state(self, key):
-        params = self.model.init(key)
-        return params, self.tx.init(params)
-
-    def _epoch_fn(self, params, opt_state, key):
-        return self._run_epoch(
-            params, opt_state, key, self.sharded.arrays, self._data
-        )
-
-    def validate(self, params):
-        from gcn_recommendation_tpu.train.evaluate import (
-            build_eval_batches,
-            evaluate_batches,
-        )
-
-        fu, fi, *_ = self.model.apply_with_propagator(
+    def _forward(self, params, arrays):
+        return self.model.apply_with_propagator(
             params,
-            lambda e: self.propagator(e, self.sharded.arrays),
+            lambda e: self.propagator(e, arrays.graph),
             self.sharded.num_nodes_pad,
         )
-        if getattr(self, "_eval_batches", None) is None:
-            # fixed val users + train filter set: build device batches once
-            self._eval_batches = build_eval_batches(
-                self.bundle.val,
-                self.bundle.train,
-                self.bundle.num_users,
-                self.bundle.num_items,
-                self.config.eval_user_batch,
-            )
-        return evaluate_batches(fu, fi, self._eval_batches, self.config.top_k)
+
+    def _forward_eval(self, params):
+        return self._forward(params, self.arrays)

@@ -26,6 +26,7 @@ no analogue here; both are intentionally unsupported.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 
 import jax
@@ -173,6 +174,11 @@ def _local_masked_topk(
     ``num_valid_items`` (static), when given, masks the zero pad rows at
     global column >= num_valid_items by index comparison — cheaper than
     carrying the pad ids in every user's filter list.
+
+    ``k`` may exceed ``shard_items`` (legitimate when the merged catalog
+    across shards is still >= k): the local top-k is clamped and padded
+    back to k with MASK_VALUE sentinels, which the cross-shard merge
+    then never selects ahead of real candidates.
     """
     idx = jax.lax.axis_index(axis)
     offset = idx * shard_items
@@ -188,7 +194,16 @@ def _local_masked_topk(
         local_filter,
         shard_items,  # out-of-bounds -> dropped
     )
-    vals, loc = masked_topk(scores, local_filter, k)
+    kk = min(k, shard_items)
+    vals, loc = masked_topk(scores, local_filter, kk)
+    if kk < k:
+        b = vals.shape[0]
+        vals = jnp.concatenate(
+            [vals, jnp.full((b, k - kk), MASK_VALUE, vals.dtype)], axis=1
+        )
+        loc = jnp.concatenate(
+            [loc, jnp.zeros((b, k - kk), loc.dtype)], axis=1
+        )
     return vals, loc + offset
 
 
@@ -198,13 +213,15 @@ def sharded_topk_eval_batch(
     item_emb: jax.Array,        # [I_pad, d] row-sharded over model axis
     filter_idx: jax.Array,      # [B, F] global item ids (pad >= I)
     k: int,
+    num_valid_items: Optional[int] = None,
 ):
     """Distributed masked top-k: local top-k per item shard + global merge.
 
-    ``item_emb`` must be padded to a multiple of the model-axis size; pad
-    rows must be all-zero (their scores can never reach the top-k of
-    trained embeddings, and padded filter ids mask them anyway if needed).
-    Returns (values, global_indices) of shape [B, k].
+    ``item_emb`` must be padded to a multiple of the model-axis size; pass
+    ``num_valid_items`` (the true catalog size) so the zero pad rows are
+    masked out — a pad row scores 0, which *can* reach the top-k whenever a
+    user's real-item scores are all negative.  Returns (values,
+    global_indices) of shape [B, k].
     """
     n_model = mesh.shape[MODEL_AXIS]
     i_pad = item_emb.shape[0]
@@ -222,7 +239,8 @@ def sharded_topk_eval_batch(
     )
     def run(u_emb, item_shard, filt):
         vals, gidx = _local_masked_topk(
-            u_emb, item_shard, filt, k, shard_items, MODEL_AXIS
+            u_emb, item_shard, filt, k, shard_items, MODEL_AXIS,
+            num_valid_items=num_valid_items,
         )
         # gather the k candidates from every shard and re-select
         all_vals = jax.lax.all_gather(vals, MODEL_AXIS)   # [m, B, k]

@@ -89,17 +89,8 @@ class Trainer:
         )
         self.sampler_iters = binary_search_iters(user_ptr)
         cdtype = jnp.dtype(getattr(config, "compute_dtype", "float32"))
-        n_chunks = num_chunks_for(bundle.graph.num_nodes, config.embedding_dim)
-        if self.graph_chunking and n_chunks > 1:
-            graph = to_device_chunked_graph(
-                bundle.graph, n_chunks, compute_dtype=cdtype
-            )
-            print(f"Graph: source-chunked gathers ({n_chunks} chunks — "
-                  f"embedding block above the gather knee, see PERF.md)")
-        else:
-            graph = to_device_graph(bundle.graph, compute_dtype=cdtype)
         self.arrays = TrainArrays(
-            graph=graph,
+            graph=self._device_graph(cdtype),
             train_users=jnp.asarray(bundle.train.user_idx),
             train_items=jnp.asarray(bundle.train.item_idx),
             user_ptr=jnp.asarray(user_ptr),
@@ -114,6 +105,29 @@ class Trainer:
 
         self._epoch_fn_jit = self._build_epoch_fn()
         self._eval_batches = None  # built lazily, reused across validations
+
+    def _device_graph(self, cdtype):
+        """Device adjacency for ``arrays.graph`` (plain or source-chunked by
+        the gather-knee rule; subclasses substitute their own layout)."""
+        n_chunks = num_chunks_for(
+            self.bundle.graph.num_nodes, self.config.embedding_dim
+        )
+        if self.graph_chunking and n_chunks > 1:
+            print(f"Graph: source-chunked gathers ({n_chunks} chunks — "
+                  f"embedding block above the gather knee, see PERF.md)")
+            return to_device_chunked_graph(
+                self.bundle.graph, n_chunks, compute_dtype=cdtype
+            )
+        return to_device_graph(self.bundle.graph, compute_dtype=cdtype)
+
+    def _forward(self, params, arrays: TrainArrays):
+        """Full model forward given the device arrays — the only piece the
+        propagation-schedule variants (HaloTrainer) override."""
+        return self.model.apply(params, arrays.graph)
+
+    def _forward_eval(self, params):
+        """Forward pass for validation (cached-jit on the default path)."""
+        return apply_cached(self.model, params, self.arrays.graph)
 
     # back-compat accessors -------------------------------------------------
     @property
@@ -140,9 +154,7 @@ class Trainer:
     # --- loss over one batch given full forward outputs ---
     def _batch_loss(self, params, arrays: TrainArrays, users, pos, neg):
         cfg = self.config
-        fu_all, fi_all, fb_all, u0_all, i0_all = self.model.apply(
-            params, arrays.graph
-        )
+        fu_all, fi_all, fb_all, u0_all, i0_all = self._forward(params, arrays)
         fu = jnp.take(fu_all, users, axis=0)
         fp = jnp.take(fi_all, pos, axis=0)
         fn_ = jnp.take(fi_all, neg, axis=0)
@@ -213,7 +225,7 @@ class Trainer:
         # the val users and train filter set are fixed for the whole run,
         # so the padded device batches are built once and reused (the
         # per-eval host rebuild + re-upload was pure waste)
-        fu, fi, _, _, _ = apply_cached(self.model, params, self.arrays.graph)
+        fu, fi, _, _, _ = self._forward_eval(params)
         if self._eval_batches is None:
             self._eval_batches = build_eval_batches(
                 self.bundle.val,

@@ -33,6 +33,14 @@ def _state_dict(params, opt_state, epoch, best_recall, key):
 
 _async_ckptr: Optional[ocp.AsyncCheckpointer] = None
 
+# final path -> staging path of an async write in flight.  The previous
+# checkpoint stays on disk untouched until the replacement is fully
+# written; only then is it swapped in (see _promote_staged) — a crash at
+# any point leaves either the old or the new checkpoint restorable.
+_staged: dict = {}
+
+_STAGING_SUFFIX = ".staging"
+
 
 def _get_async_ckptr() -> ocp.AsyncCheckpointer:
     global _async_ckptr
@@ -41,32 +49,61 @@ def _get_async_ckptr() -> ocp.AsyncCheckpointer:
     return _async_ckptr
 
 
+def _promote_staged() -> None:
+    """Swap completed staging dirs over their final paths.
+
+    Only called after ``wait_until_finished`` — Orbax itself writes to a
+    tmp dir and renames to the staging path on commit, so a staging dir
+    that *exists* is complete."""
+    for final, staging in list(_staged.items()):
+        if os.path.exists(staging):
+            if os.path.exists(final):
+                shutil.rmtree(final)
+            os.replace(staging, final)
+        del _staged[final]
+
+
 def save(ckpt_dir: str, tag: str, params, opt_state, epoch: int, best_recall: float, key) -> str:
-    """Asynchronous save: the device->host fetch happens HERE, on the
-    caller's thread, and only the file write runs in the background.
+    """Asynchronous, crash-safe save: the device->host fetch happens HERE,
+    on the caller's thread, and only the file write runs in the background.
     (Letting the Orbax background thread touch device arrays races the
     axon/TPU client with concurrent training dispatches — observed as a
-    wedged training loop.)  Call :func:`wait` before relying on the
+    wedged training loop.)  The write lands in ``<tag>.staging`` and is
+    renamed over ``<tag>`` once durable, so the previous checkpoint
+    survives a crash mid-write.  Call :func:`wait` before relying on the
     files, e.g. at process exit."""
     path = os.path.abspath(os.path.join(ckpt_dir, tag))
     state = _state_dict(params, opt_state, epoch, best_recall, key)
     state = jax.device_get(state)  # synchronous snapshot to host numpy
     ckptr = _get_async_ckptr()
-    ckptr.wait_until_finished()  # previous write must release the dir
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    ckptr.save(path, state)
+    ckptr.wait_until_finished()  # previous write is durable now
+    _promote_staged()
+    staging = path + _STAGING_SUFFIX
+    if os.path.exists(staging):
+        shutil.rmtree(staging)  # stale leftover from a crashed run
+    ckptr.save(staging, state)
+    _staged[path] = staging
     return path
 
 
 def wait() -> None:
-    """Block until any in-flight checkpoint write has finished."""
+    """Block until any in-flight checkpoint write has finished, and swap
+    completed writes over their final paths."""
     if _async_ckptr is not None:
         _async_ckptr.wait_until_finished()
+    _promote_staged()
 
 
 def _restore(path: str, params_template, opt_state_template) -> Optional[Tuple]:
     wait()  # a concurrent async write may still be materializing files
+    staging = path + _STAGING_SUFFIX
+    if os.path.exists(staging):
+        # a previous process crashed after its write committed but before
+        # the swap — the staging dir is complete (Orbax renames on commit)
+        # and strictly newer than the final dir, so promote it now
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(staging, path)
     if not os.path.exists(path):
         return None
     dummy_key = jax.random.PRNGKey(0)

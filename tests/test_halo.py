@@ -138,3 +138,32 @@ def test_halo_trainer_validate(tiny_bundle, tmp_path):
     r2, n2 = halo.validate(params)
     np.testing.assert_allclose(r1, r2, rtol=1e-6)
     np.testing.assert_allclose(n1, n2, rtol=1e-5)
+
+
+def test_halo_trainer_brand_loss_matches_single_device(tiny_bundle, tmp_path):
+    """Regression: HaloTrainer used to silently drop config.brand_loss
+    (its hand-rolled batch loss never passed the brand arguments); now it
+    inherits Trainer's loss, so the two paths must agree exactly."""
+    from gcn_recommendation_tpu.config import Config
+    from gcn_recommendation_tpu.models import get_model
+    from gcn_recommendation_tpu.parallel.halo import HaloTrainer
+    from gcn_recommendation_tpu.train.trainer import Trainer
+
+    bundle, _ = tiny_bundle
+    cfg = Config(
+        embedding_dim=16, n_layers=2, epochs=1, batch_size=128,
+        brand_loss=True,
+        checkpoint_dir=str(tmp_path / "ck"), results_dir=str(tmp_path / "rs"),
+    )
+    model = get_model("LightGCN")(
+        bundle.num_users, bundle.num_items, bundle.num_brands, cfg
+    )
+    mesh = create_mesh(MeshSpec(data=2, model=4))
+    halo = HaloTrainer(cfg, model, bundle, mesh)
+    single = Trainer(cfg, model, bundle)
+
+    p1, o1 = single.init_state(jax.random.PRNGKey(0))
+    p2, o2 = halo.init_state(jax.random.PRNGKey(0))
+    p1, o1, l1 = single._epoch_fn(p1, o1, jax.random.PRNGKey(3))
+    p2, o2, l2 = halo._epoch_fn(p2, o2, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-4, atol=1e-6)

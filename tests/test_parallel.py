@@ -34,20 +34,33 @@ def test_sharded_topk_matches_single_device():
     filt[5, 0] = 42
 
     items_pad = pad_rows(items, 4 * 8)  # even shards, zero rows
-    # mask the zero pad rows too so they can't enter the top-k
-    pad_ids = np.arange(I, items_pad.shape[0], dtype=np.int32)
-    filt_full = np.concatenate(
-        [filt, np.tile(pad_ids, (B, 1))], axis=1
-    )
 
     vals_s, idx_s = sharded_topk_eval_batch(
-        mesh, jnp.asarray(u), jnp.asarray(items_pad), jnp.asarray(filt_full), k
+        mesh, jnp.asarray(u), jnp.asarray(items_pad), jnp.asarray(filt),
+        k, num_valid_items=I,
     )
     vals_r, idx_r = masked_topk_scores(
         jnp.asarray(u), jnp.asarray(items), jnp.asarray(filt), k
     )
     np.testing.assert_allclose(np.asarray(vals_s), np.asarray(vals_r), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_r))
+
+
+def test_sharded_topk_excludes_pad_rows_on_negative_scores():
+    # Zero pad rows score 0, which beats all-negative real scores — the
+    # num_valid_items mask must keep nonexistent item ids out of the top-k.
+    rng = np.random.default_rng(1)
+    B, I, d, k = 8, 30, 8, 20
+    mesh = create_mesh(MeshSpec(data=2, model=4))
+    u = -np.abs(rng.standard_normal((B, d))).astype(np.float32)
+    items = np.abs(rng.standard_normal((I, d))).astype(np.float32)
+    filt = np.full((B, 2), I, np.int32)
+    items_pad = pad_rows(items, 4 * 8)  # pads 30 -> 32
+    _, idx = sharded_topk_eval_batch(
+        mesh, jnp.asarray(u), jnp.asarray(items_pad), jnp.asarray(filt),
+        k, num_valid_items=I,
+    )
+    assert int(np.asarray(idx).max()) < I
 
 
 @pytest.fixture()

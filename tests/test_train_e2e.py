@@ -56,6 +56,30 @@ def test_fit_checkpoint_and_resume(trainer, tmp_path):
     assert best2 >= best
 
 
+def test_checkpoint_crash_safe_staging(trainer, tmp_path):
+    """A committed-but-unswapped <tag>.staging dir (crash between the
+    async write finishing and the rename) must win over the stale final
+    dir on restore, and the final dir must never be deleted before the
+    replacement is durable."""
+    import os
+    import shutil
+
+    from gcn_recommendation_tpu.utils import checkpoint as ckpt
+
+    params, opt_state = trainer.init_state(jax.random.PRNGKey(0))
+    d_old = str(tmp_path / "stage_old")
+    d_new = str(tmp_path / "stage_new")
+    ckpt.save(d_old, "last", params, opt_state, 1, 0.1, jax.random.PRNGKey(1))
+    ckpt.save(d_new, "last", params, opt_state, 2, 0.2, jax.random.PRNGKey(2))
+    ckpt.wait()
+    # simulate the crash: newer checkpoint left at <tag>.staging
+    shutil.move(os.path.join(d_new, "last"), os.path.join(d_old, "last.staging"))
+    restored = ckpt.load_latest(d_old, params, opt_state)
+    assert restored is not None
+    assert restored[2] == 2  # the staged (newer) epoch, not the stale 1
+    assert not os.path.exists(os.path.join(d_old, "last.staging"))
+
+
 def test_brand_loss_path_trains(tiny_bundle, tmp_path):
     bundle, _ = tiny_bundle
     cfg = Config(
