@@ -66,7 +66,8 @@ class DataBundle:
     graph: Graph
     item_brand: ItemBrand
     item_to_brand: np.ndarray  # [num_items] int32 dense map (first brand,
-                               # 0 for items without metadata) — fixes the
+                               # -1 sentinel for items without metadata;
+                               # the brand loss masks those) — fixes the
                                # reference's dead brand-loss wiring
                                # (main.py:505-509)
     graph_stats: Dict[str, float]
@@ -257,8 +258,10 @@ def load_preprocessed_data(
         print(f"[Final Data Overview] train={len(train):,} val={len(val):,} "
               f"test={len(test):,}")
 
-    # dense item->brand map (first brand per item; 0 if unknown)
-    item_to_brand = np.zeros(num_items, dtype=np.int32)
+    # dense item->brand map (first brand per item; -1 sentinel if unknown —
+    # the brand loss masks those pairs out rather than pulling users toward
+    # whichever brand happened to get index 0)
+    item_to_brand = np.full(num_items, -1, dtype=np.int32)
     if len(item_brand):
         # reversed so the FIRST occurrence wins
         item_to_brand[item_brand.item_idx[::-1]] = item_brand.brand_idx[::-1]

@@ -287,7 +287,14 @@ def prepare_and_save_data(
 
     # 5. leave-one-out split
     if recipe.split == "timestamp":
-        # newest interaction per user = test (steam_emb/prepare_data.py:104-112)
+        # newest interaction per user = test (steam_emb/prepare_data.py:104-112).
+        # Documented deviation: the reference's sort_values default is an
+        # UNSTABLE quicksort, so among tied max-timestamps it picks an
+        # arbitrary (platform/version-dependent) row; the stable sort here
+        # deterministically keeps the last-in-file row.  Splits therefore
+        # differ on users whose newest interactions share a timestamp —
+        # both choices are uniform over the tie set, but cross-pipeline
+        # split comparisons must account for it.
         df = df.sort_values("order_value", ascending=True, kind="stable")
         rank = df.groupby("user_idx").cumcount(ascending=False)
         test_mask = rank == 0

@@ -58,6 +58,30 @@ def membership_arrays(
     return user_ptr, flat_items
 
 
+def padded_filter_rows(
+    f_ptr: np.ndarray,
+    f_items: np.ndarray,
+    users: np.ndarray,
+    width: int,
+    pad_value: int,
+) -> np.ndarray:
+    """``[len(users), width]`` padded per-user item lists from the CSR
+    membership arrays; unused slots hold ``pad_value`` (conventionally
+    ``num_items``, which the masking kernels drop as out-of-bounds).
+    Shared by the evaluator batch builder and the serving retriever so
+    the padding convention lives in exactly one place."""
+    lens = (f_ptr[1:] - f_ptr[:-1])[users]
+    filt = np.full((len(users), width), pad_value, dtype=np.int32)
+    total = int(lens.sum())
+    if total:
+        rows = np.repeat(np.arange(len(users)), lens)
+        offs = np.cumsum(lens) - lens
+        cols = np.arange(total) - np.repeat(offs, lens)
+        flat = np.repeat(f_ptr[users], lens) + cols
+        filt[rows, cols] = f_items[flat]
+    return filt
+
+
 def _is_positive(flat_items, user_ptr, users, cands, n_iters: int):
     """Vectorized lower-bound binary search membership test."""
     lo = user_ptr[users]

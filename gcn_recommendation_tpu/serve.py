@@ -23,10 +23,24 @@ import jax.numpy as jnp
 import numpy as np
 
 from gcn_recommendation_tpu.data.loader import DataBundle
-from gcn_recommendation_tpu.data.sampler import membership_arrays
+from gcn_recommendation_tpu.data.sampler import membership_arrays, padded_filter_rows
 from gcn_recommendation_tpu.ops.quant import quantize_rows_int8, quantized_topk_scores
 from gcn_recommendation_tpu.ops.spmm import to_device_graph_auto
 from gcn_recommendation_tpu.ops.topk import masked_topk_scores
+
+# jitted f32 scoring path (the eager call materialized the [B, F, N]
+# comparison mask through HBM instead of fusing it into the top-k)
+_masked_topk_scores_jit = jax.jit(masked_topk_scores, static_argnames=("k",))
+
+
+def _bucket_up(n: int, floor: int, mult: int = 4) -> int:
+    """Smallest floor * mult^j >= n — request shapes land on a small
+    geometric ladder so repeated serving calls reuse compiled programs
+    instead of retracing per exact (batch, filter-width) pair."""
+    b = floor
+    while b < n:
+        b *= mult
+    return b
 
 
 class Retriever:
@@ -69,19 +83,22 @@ class Retriever:
         return cls(fu, fi, bundle, quantize=quantize)
 
     def _filter_batch(self, users: np.ndarray, filter_seen: bool) -> np.ndarray:
+        """[B_pad, F] padded seen-item lists at bucketed width.
+
+        Width is bucketed to a geometric ladder capped at the global max
+        seen-count (exact per-request widths retraced the jitted top-k on
+        nearly every distinct user set — compile latency dominates on the
+        remote-tunnel TPU)."""
         b = len(users)
         if not filter_seen:
             return np.full((b, 1), self.num_items, np.int32)
         lens = self._deg[users]
         fmax = max(1, int(lens.max()) if b else 1)
-        filt = np.full((b, fmax), self.num_items, np.int32)
-        if lens.sum():
-            rows = np.repeat(np.arange(b), lens)
-            offs = np.cumsum(lens) - lens
-            cols = np.arange(int(lens.sum())) - np.repeat(offs, lens)
-            flat = np.repeat(self._f_ptr[users], lens) + cols
-            filt[rows, cols] = self._f_items[flat]
-        return filt
+        global_max = max(1, int(self._deg.max())) if len(self._deg) else 1
+        fmax = min(_bucket_up(fmax, 8), global_max)
+        return padded_filter_rows(
+            self._f_ptr, self._f_items, users, fmax, self.num_items
+        )
 
     def recommend(
         self,
@@ -91,12 +108,17 @@ class Retriever:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Return (scores, item_ids), each [len(user_ids), k]."""
         users = np.asarray(user_ids, dtype=np.int32)
-        filt = jnp.asarray(self._filter_batch(users, filter_seen))
-        u = jnp.take(self.user_emb, jnp.asarray(users), axis=0)
+        n_req = len(users)
+        # pad the batch onto the shape ladder too (repeat user 0; sliced off)
+        b_pad = _bucket_up(max(n_req, 1), 8, 2)
+        users_pad = np.zeros(b_pad, np.int32)
+        users_pad[:n_req] = users
+        filt = jnp.asarray(self._filter_batch(users_pad, filter_seen))
+        u = jnp.take(self.user_emb, jnp.asarray(users_pad), axis=0)
         if self.quantized:
             vals, idx = quantized_topk_scores(
                 u, self.item_q, self.item_scale, filt, k
             )
         else:
-            vals, idx = masked_topk_scores(u, self.item_emb, filt, k)
-        return np.asarray(vals), np.asarray(idx)
+            vals, idx = _masked_topk_scores_jit(u, self.item_emb, filt, k)
+        return np.asarray(vals)[:n_req], np.asarray(idx)[:n_req]

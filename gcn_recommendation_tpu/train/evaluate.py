@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gcn_recommendation_tpu.data.loader import Interactions
-from gcn_recommendation_tpu.data.sampler import membership_arrays
+from gcn_recommendation_tpu.data.sampler import membership_arrays, padded_filter_rows
 from gcn_recommendation_tpu.ops.topk import compare_max_f, topk_eval_scan
 
 
@@ -120,12 +120,9 @@ def build_eval_batches(
         )
         # padded seen-item lists; pad index = num_items (dropped as OOB)
         filt = np.full((total, fmax), num_items, dtype=np.int32)
-        lens = deg[t_users]
-        rows = np.repeat(np.arange(len(t_users)), lens)
-        offs = np.cumsum(lens) - lens
-        cols = np.arange(int(lens.sum())) - np.repeat(offs, lens)
-        flat = np.repeat(f_ptr[t_users], lens) + cols
-        filt[rows, cols] = f_items[flat]
+        filt[: len(t_users)] = padded_filter_rows(
+            f_ptr, f_items, t_users, fmax, num_items
+        )
 
         stacks.append(
             (

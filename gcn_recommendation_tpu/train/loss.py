@@ -45,13 +45,21 @@ def bpr_loss_reg(
 
     brand_loss_val = 0.0
     if brand_loss and final_brand_emb is not None:
-        pos_brand_emb = jnp.take(final_brand_emb, pos_item_brand_idx, axis=0)
-        neg_brand_emb = jnp.take(final_brand_emb, neg_item_brand_idx, axis=0)
+        # items without brand metadata carry a -1 sentinel (data/loader.py):
+        # mask those pairs out of the mean instead of training the user
+        # toward an arbitrary brand embedding
+        valid = (pos_item_brand_idx >= 0) & (neg_item_brand_idx >= 0)
+        pos_brand_emb = jnp.take(
+            final_brand_emb, jnp.maximum(pos_item_brand_idx, 0), axis=0
+        )
+        neg_brand_emb = jnp.take(
+            final_brand_emb, jnp.maximum(neg_item_brand_idx, 0), axis=0
+        )
         brand_pos = jnp.sum(final_user_emb * pos_brand_emb, axis=1)
         brand_neg = jnp.sum(final_user_emb * neg_brand_emb, axis=1)
-        brand_loss_val = -jnp.mean(
-            jnp.log(jax.nn.sigmoid(brand_pos - brand_neg) + EPS)
-        )
+        per_pair = -jnp.log(jax.nn.sigmoid(brand_pos - brand_neg) + EPS)
+        denom = jnp.maximum(jnp.sum(valid), 1)
+        brand_loss_val = jnp.sum(jnp.where(valid, per_pair, 0.0)) / denom
 
     batch = final_user_emb.shape[0]
     reg = (

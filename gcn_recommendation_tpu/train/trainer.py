@@ -255,6 +255,11 @@ class Trainer:
             if restored is not None:
                 params, opt_state, start_epoch, best_recall, key = restored
                 start_epoch += 1
+                if self.logger is not None:
+                    # keep the loss-curve step axis global across resumes
+                    self.logger.set_start_step(
+                        self.steps_per_epoch * (start_epoch - 1)
+                    )
                 print(f"Resumed from epoch {start_epoch - 1} "
                       f"(best recall {best_recall:.4f})")
 

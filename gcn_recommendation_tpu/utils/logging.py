@@ -39,6 +39,13 @@ class Logger:
         self.throughput: List[float] = []  # examples/sec per epoch
         self.current_step = 0
 
+    def set_start_step(self, step: int) -> None:
+        """Prime the global step counter when resuming a run, so the
+        per-epoch loss markers (positioned at step/total_epochs in save())
+        and the per-batch curve line up with the true global step instead
+        of restarting at 0."""
+        self.current_step = int(step)
+
     def log_batch_loss(self, loss: float) -> None:
         self.history["step"].append(self.current_step)
         self.history["batch_loss"].append(float(loss))

@@ -71,3 +71,19 @@ def test_cli_prepare_train_test_roundtrip(tmp_path):
     )
     assert r.returncode != 0
     assert "out of range" in r.stderr
+
+
+@pytest.mark.slow
+def test_multiprocess_distributed_dryrun():
+    """Real multi-PROCESS jax.distributed on CPU: core.distributed
+    .initialize + a cross-process psum + a sharded forward (the
+    multi-host layer the virtual in-process mesh can't exercise)."""
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "multiproc_dryrun.py"), "2"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=500,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "multiproc_dryrun PASSED" in r.stdout

@@ -61,3 +61,43 @@ def test_bpr_loss_with_brand_term_matches():
     )
     ref = _torch_reference(*args, lam, brand=brand, pb=pb, nb=nbi, w=0.1)
     np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_brand_loss_masks_missing_brand_sentinel():
+    """Items without brand metadata carry -1 (data/loader.py); those
+    pairs must not contribute to the brand term."""
+    rng = np.random.default_rng(2)
+    B, d, nb = 16, 8, 5
+    args = [rng.standard_normal((B, d)).astype(np.float32) for _ in range(6)]
+    brand = rng.standard_normal((nb, d)).astype(np.float32)
+    pb = rng.integers(0, nb, B).astype(np.int32)
+    nbr = rng.integers(0, nb, B).astype(np.int32)
+    lam = 1e-4
+
+    full = float(bpr_loss_reg(
+        *(jnp.asarray(a) for a in args), lam,
+        brand_loss=True, final_brand_emb=jnp.asarray(brand),
+        pos_item_brand_idx=jnp.asarray(pb), neg_item_brand_idx=jnp.asarray(nbr),
+    ))
+
+    # sentinel out half the pairs: result must equal the loss computed on
+    # the valid half alone (brand term re-averaged over valid pairs only)
+    pb2, nb2 = pb.copy(), nbr.copy()
+    pb2[: B // 2] = -1
+    masked = float(bpr_loss_reg(
+        *(jnp.asarray(a) for a in args), lam,
+        brand_loss=True, final_brand_emb=jnp.asarray(brand),
+        pos_item_brand_idx=jnp.asarray(pb2), neg_item_brand_idx=jnp.asarray(nb2),
+    ))
+
+    # reference value: brand term over the valid half, BPR/reg over all
+    base = float(bpr_loss_reg(*(jnp.asarray(a) for a in args), lam))
+    import torch
+
+    fu = torch.tensor(args[0][B // 2 :])
+    pbe = torch.tensor(brand)[torch.tensor(pb[B // 2 :].astype(np.int64))]
+    nbe = torch.tensor(brand)[torch.tensor(nbr[B // 2 :].astype(np.int64))]
+    bl = -torch.mean(torch.log(torch.sigmoid(
+        torch.sum(fu * pbe, dim=1) - torch.sum(fu * nbe, dim=1)) + 1e-8))
+    np.testing.assert_allclose(masked, base + 0.1 * float(bl), rtol=1e-5)
+    assert masked != full

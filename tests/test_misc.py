@@ -114,3 +114,29 @@ def test_logger_writes_throughput_csv(tmp_path):
     df = pd.read_csv(tmp_path / "TP_throughput.csv")
     assert list(df.columns) == ["epoch", "examples_per_sec"]
     assert len(df) == 2
+
+
+def test_config_debug_nests_absolute_output_dirs(tmp_path):
+    # os.path.join('debug', abs) returns abs unchanged — a --debug run
+    # must never write into the real run's directories
+    c = Config(
+        debug=True,
+        checkpoint_dir=str(tmp_path / "exp" / "ck"),
+        results_dir=str(tmp_path / "exp" / "res"),
+    )
+    assert c.checkpoint_dir != str(tmp_path / "exp" / "ck")
+    assert "debug" in c.checkpoint_dir and "debug" in c.results_dir
+
+
+def test_config_debug_respects_explicit_flags():
+    # explicit batch_size/val_interval win over the debug defaults;
+    # epochs stay forced to 5 (reference main.py:79-80)
+    c = Config(debug=True, batch_size=1024, val_interval=2, epochs=50)
+    assert c.batch_size == 1024 and c.val_interval == 2 and c.epochs == 5
+
+
+def test_logger_resume_step_priming(tmp_path):
+    lg = Logger(str(tmp_path), "Resume")
+    lg.set_start_step(100)
+    lg.log_batch_loss(0.5)
+    assert lg.history["step"][0] == 100

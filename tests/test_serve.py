@@ -56,3 +56,17 @@ def test_quantized_retriever_agrees_with_f32(retriever_setup):
         ]
     )
     assert overlap > 0.85, overlap
+
+
+def test_recommend_batch_padding_roundtrip(retriever_setup):
+    """Serving pads requests onto a (batch, filter-width) shape ladder;
+    results must be identical for the same users regardless of how many
+    other users share the request."""
+    bundle, model, params = retriever_setup
+    r = Retriever.from_params(model, params, bundle)
+    users = np.array([1, 2, 3], np.int32)          # pads 3 -> 4
+    s3, i3 = r.recommend(users, k=5)
+    s1, i1 = r.recommend(users[:1], k=5)           # pads 1 -> 8
+    assert s3.shape == (3, 5) and i3.shape == (3, 5)
+    np.testing.assert_array_equal(i3[0], i1[0])
+    np.testing.assert_allclose(s3[0], s1[0], rtol=1e-6)

@@ -1,0 +1,143 @@
+"""Multi-PROCESS dryrun: jax.distributed across real OS processes on CPU.
+
+The virtual 8-device CPU mesh used by the test suite exercises multi-chip
+sharding inside ONE process; this tool additionally validates the
+multi-HOST layer (core/distributed.initialize + cross-process collectives
+— the thing a real pod slice needs) without TPU pod hardware:
+
+* parent spawns N worker processes;
+* each worker calls core.distributed.initialize(coordinator, N, pid)
+  (the exact call a pod host makes) with 2 virtual CPU devices;
+* workers build the global ('data','model') mesh from auto_mesh_spec,
+  then run a psum + an all_gather through shard_map spanning processes,
+  and a tiny sharded LightGCN forward over the global mesh;
+* parent checks every worker exits 0 and prints the expected sums.
+
+Usage: python tools/multiproc_dryrun.py [nprocs]   (default 2)
+
+Reference has no counterpart (single-process, single-GPU — SURVEY.md
+§2.2); this is the TPU-native framework's multi-host init path
+(BASELINE.json north star: N>=2 hosts).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+# repo root on sys.path (workers are launched by file path, so python only
+# adds tools/; PYTHONPATH is avoided repo-wide — it breaks axon discovery)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+LOCAL_DEVICES = 2
+PORT = 49731
+
+
+def worker(nprocs: int, pid: int) -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from gcn_recommendation_tpu.core import distributed
+
+    active = distributed.initialize(
+        coordinator_address=f"localhost:{PORT}",
+        num_processes=nprocs,
+        process_id=pid,
+    )
+    assert active == (nprocs > 1), (active, nprocs)
+    assert jax.process_count() == nprocs, jax.process_count()
+    assert jax.local_device_count() == LOCAL_DEVICES
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from gcn_recommendation_tpu.core.distributed import auto_mesh_spec
+    from gcn_recommendation_tpu.core.mesh import create_mesh
+
+    spec = auto_mesh_spec()
+    assert spec.data * spec.model == nprocs * LOCAL_DEVICES
+    mesh = create_mesh(spec)
+
+    # cross-process collective: every device contributes its global index;
+    # psum must see ALL devices, not just this process's
+    n_global = nprocs * LOCAL_DEVICES
+
+    @jax.jit
+    @jax.shard_map(mesh=mesh, in_specs=P("data", "model"), out_specs=P())
+    def summed(x):
+        return jax.lax.psum(jnp.sum(x), ("data", "model"))[None]
+
+    import jax.experimental.multihost_utils as mhu
+
+    local = np.arange(n_global, dtype=np.float32).reshape(spec.data, spec.model)
+    garr = mhu.host_local_array_to_global_array(local, mesh, P())
+    # replicated output: read this process's local shard
+    total = float(np.asarray(summed(garr).addressable_shards[0].data)[0])
+    expect = float(n_global * (n_global - 1) / 2)
+    assert total == expect, (total, expect)
+
+    # tiny sharded forward over the global mesh (row-sharded tables)
+    from gcn_recommendation_tpu.config import Config
+    from gcn_recommendation_tpu.data.synthetic import synthetic_bundle
+    from gcn_recommendation_tpu.models import get_model
+    from gcn_recommendation_tpu.ops.spmm import to_device_graph
+    from gcn_recommendation_tpu.parallel.spmd import shard_graph, shard_params
+
+    cfg = Config(embedding_dim=16, n_layers=2, batch_size=64, epochs=1)
+    bundle = synthetic_bundle(
+        num_users=256, num_items=128, num_brands=16, mean_degree=8.0, seed=0
+    )
+    model = get_model("LightGCN")(
+        bundle.num_users, bundle.num_items, bundle.num_brands, cfg
+    )
+    params = shard_params(model.init(jax.random.PRNGKey(0)), mesh)
+    graph = shard_graph(to_device_graph(bundle.graph), mesh)
+    fu, fi, *_ = jax.jit(model.apply)(params, graph)
+    for shard in fu.addressable_shards:
+        assert np.isfinite(np.asarray(shard.data)).all()
+
+    if pid == 0:
+        print(
+            f"multiproc_dryrun: {nprocs} processes x {LOCAL_DEVICES} devices — "
+            f"psum={total:.0f} (expected {expect:.0f}), sharded forward ok"
+        )
+
+
+def main() -> int:
+    nprocs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    if len(sys.argv) > 2 and sys.argv[2] == "--worker":
+        worker(nprocs, int(sys.argv[3]))
+        return 0
+
+    env = dict(os.environ)
+    # drop any inherited device-count flag (e.g. the test suite's =8);
+    # XLA takes the LAST occurrence, so it would override ours
+    inherited = [
+        f for f in env.get("XLA_FLAGS", "").split()
+        if not f.startswith("--xla_force_host_platform_device_count")
+    ]
+    env["XLA_FLAGS"] = " ".join(
+        inherited + [f"--xla_force_host_platform_device_count={LOCAL_DEVICES}"]
+    )
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), str(nprocs), "--worker", str(i)],
+            env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        for i in range(nprocs)
+    ]
+    rc = [p.wait(timeout=600) for p in procs]
+    if any(rc):
+        print(f"multiproc_dryrun FAILED: exit codes {rc}")
+        return 1
+    print("multiproc_dryrun PASSED")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
