@@ -7,7 +7,9 @@ checkpoint-name encoding of main.py:613-615 — plus fixes the reference's
 hard-coded dataset dir (main.py:58) with ``--dataset`` / ``--data_root``
 / ``--processed_dir`` selectors and adds ``prepare`` (offline ETL,
 reproducing all five dataset recipes), ``recommend`` (serving: masked
-top-k from a trained checkpoint, optional int8 catalog) and ``--resume``.
+top-k from a trained checkpoint, optional int8 catalog), ``--resume``,
+and ``--mesh DATA,MODEL`` / ``--schedule`` for sharded multi-chip
+training (parallel/spmd.py, parallel/halo.py).
 
 Run as ``python -m gcn_recommendation_tpu.cli <mode> ...`` or via the
 package main (``python -m gcn_recommendation_tpu ...``).
@@ -66,6 +68,15 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--learning_rate", type=float, default=None)
     tr.add_argument("--val_interval", type=int, default=None,
                     help="Validate every N epochs (default 5, main.py:66).")
+    tr.add_argument("--mesh", type=str, default=None,
+                    help="DATA,MODEL device-mesh shape for sharded training "
+                         "(e.g. '2,4' = batch over 2-way data parallel, "
+                         "tables row-sharded 4-way). Default: single device.")
+    tr.add_argument("--schedule", type=str, default="gspmd",
+                    choices=["gspmd", "halo"],
+                    help="Sharded propagation schedule: 'gspmd' (XLA places "
+                         "collectives) or 'halo' (explicit per-layer "
+                         "all-gather shard_map — parallel/halo.py).")
 
     te = sub.add_parser("test", help="Evaluate a trained checkpoint on the test split.")
     add_common(te)
@@ -182,14 +193,49 @@ def _load_everything(config):
     return bundle, model
 
 
-def run_train(args) -> int:
+def _make_trainer(config, model, bundle, logger, args):
+    """Single-device Trainer, or a sharded one when --mesh is given."""
     from gcn_recommendation_tpu.train.trainer import Trainer
+
+    mesh_arg = getattr(args, "mesh", None)
+    if not mesh_arg:
+        return Trainer(config, model, bundle, logger=logger)
+
+    import jax
+
+    from gcn_recommendation_tpu.core.distributed import initialize
+    from gcn_recommendation_tpu.core.mesh import MeshSpec, create_mesh
+
+    initialize()  # no-op single-host; jax.distributed on a pod
+    try:
+        data, model_par = (int(x) for x in mesh_arg.split(","))
+    except ValueError:
+        raise ValueError(f"--mesh must be 'DATA,MODEL', got {mesh_arg!r}") from None
+    n = len(jax.devices())
+    if data * model_par != n:
+        raise ValueError(
+            f"--mesh {data}x{model_par} needs {data * model_par} devices, "
+            f"have {n}"
+        )
+    mesh = create_mesh(MeshSpec(data=data, model=model_par))
+    print(f"Sharded training: mesh {dict(mesh.shape)}, "
+          f"schedule={args.schedule}")
+    if args.schedule == "halo":
+        from gcn_recommendation_tpu.parallel.halo import HaloTrainer
+
+        return HaloTrainer(config, model, bundle, mesh, logger=logger)
+    from gcn_recommendation_tpu.parallel.spmd import ShardedTrainer
+
+    return ShardedTrainer(config, model, bundle, mesh, logger=logger)
+
+
+def run_train(args) -> int:
     from gcn_recommendation_tpu.utils.logging import Logger
 
     config = _make_config(args)
     bundle, model = _load_everything(config)
     logger = Logger(config.results_dir, config.logger_name(), top_k=config.top_k)
-    trainer = Trainer(config, model, bundle, logger=logger)
+    trainer = _make_trainer(config, model, bundle, logger, args)
     print("\nStep 2: Starting model training...")
     if config.use_brand:
         print(

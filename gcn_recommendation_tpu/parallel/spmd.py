@@ -127,9 +127,14 @@ class ShardedTrainer(Trainer):
 
     def init_state(self, key):
         params, opt_state = super().init_state(key)
-        params = shard_params(params, self.mesh)
-        opt_state = shard_params(opt_state, self.mesh)
-        return params, opt_state
+        return self._place_state(params, opt_state)
+
+    def _place_state(self, params, opt_state):
+        # also re-shards state restored from a checkpoint on --resume
+        return (
+            shard_params(params, self.mesh),
+            shard_params(opt_state, self.mesh),
+        )
 
     def validate(self, params):
         if self.mesh.shape[MODEL_AXIS] <= 1:

@@ -221,6 +221,11 @@ class Trainer:
         opt_state = self.tx.init(params)
         return params, opt_state
 
+    def _place_state(self, params, opt_state):
+        """Device placement for restored state (ShardedTrainer re-shards
+        the tables; single-device leaves jit to place them)."""
+        return params, opt_state
+
     def validate(self, params):
         # the val users and train filter set are fixed for the whole run,
         # so the padded device batches are built once and reused (the
@@ -254,6 +259,7 @@ class Trainer:
             restored = ckpt.load_latest(ckpt_dir, params, opt_state)
             if restored is not None:
                 params, opt_state, start_epoch, best_recall, key = restored
+                params, opt_state = self._place_state(params, opt_state)
                 start_epoch += 1
                 if self.logger is not None:
                     # keep the loss-curve step axis global across resumes

@@ -87,3 +87,48 @@ def test_multiprocess_distributed_dryrun():
     )
     assert r.returncode == 0, r.stdout + r.stderr
     assert "multiproc_dryrun PASSED" in r.stdout
+
+
+@pytest.mark.slow
+def test_cli_sharded_train_both_schedules(tmp_path):
+    """--mesh launches ShardedTrainer / HaloTrainer from the CLI on the
+    8-virtual-device mesh; both schedules must train and validate."""
+    data = str(tmp_path / "data")
+    r = _run(
+        ["prepare", "--recipe", "synthetic", "--num_users", "300",
+         "--num_items", "200", "--num_brands", "20", "--core", "16",
+         "--style", "latent", "--output_dir", data],
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    env_extra = {"XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    for schedule in ("gspmd", "halo"):
+        out_root = str(tmp_path / f"out_{schedule}")
+        env = dict(os.environ)
+        env["GCN_TPU_FORCE_PLATFORM"] = "cpu"
+        env.pop("JAX_PLATFORMS", None)
+        env.update(env_extra)
+        r = subprocess.run(
+            [sys.executable, "-m", "gcn_recommendation_tpu", "train",
+             "--processed_dir", data, "--epochs", "5", "--batch_size", "256",
+             "--mesh", "2,4", "--schedule", schedule,
+             "--output_root", out_root],
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode == 0, (schedule, r.stderr[-2000:])
+        assert "Sharded training: mesh {'data': 2, 'model': 4}" in r.stdout
+        assert "Val Recall@20" in r.stdout
+
+    # wrong device count fails loudly
+    env = dict(os.environ)
+    env["GCN_TPU_FORCE_PLATFORM"] = "cpu"
+    env.pop("JAX_PLATFORMS", None)
+    env.update(env_extra)
+    r = subprocess.run(
+        [sys.executable, "-m", "gcn_recommendation_tpu", "train",
+         "--processed_dir", data, "--epochs", "5", "--mesh", "3,4",
+         "--output_root", str(tmp_path / "bad")],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode != 0
+    assert "needs 12 devices" in r.stderr

@@ -163,3 +163,24 @@ def test_sharded_eval_wide_tiers_match_single_device():
     )
     np.testing.assert_allclose(r_sh, r_ref, rtol=1e-6)
     np.testing.assert_allclose(n_sh, n_ref, rtol=1e-5)
+
+
+def test_sharded_fit_checkpoint_and_resume(tiny_bundle, tmp_path):
+    """fit + resume through ShardedTrainer: restored (host numpy) state is
+    re-sharded over the mesh by _place_state before training continues."""
+    bundle, _ = tiny_bundle
+    cfg = Config(
+        embedding_dim=16, n_layers=2, epochs=5, batch_size=128,
+        checkpoint_dir=str(tmp_path / "ck"), results_dir=str(tmp_path / "res"),
+    )
+    model = get_model("LightGCN")(
+        bundle.num_users, bundle.num_items, bundle.num_brands, cfg
+    )
+    mesh = create_mesh(MeshSpec(data=2, model=4))
+    tr = ShardedTrainer(cfg, model, bundle, mesh)
+    _, best = tr.fit()
+    assert best > 0.0
+    tr.config.epochs = 7
+    params2, best2 = tr.fit(resume=True)
+    assert best2 >= best
+    assert params2["user_embedding"].sharding.spec[0] == "model"
