@@ -16,6 +16,7 @@ semantics behind a serving API:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -28,9 +29,20 @@ from gcn_recommendation_tpu.ops.quant import quantize_rows_int8, quantized_topk_
 from gcn_recommendation_tpu.ops.spmm import to_device_graph_auto
 from gcn_recommendation_tpu.ops.topk import masked_topk_scores
 
-# jitted f32 scoring path (the eager call materialized the [B, F, N]
-# comparison mask through HBM instead of fusing it into the top-k)
-_masked_topk_scores_jit = jax.jit(masked_topk_scores, static_argnames=("k",))
+# One jitted dispatch per request (user-row gather + score + mask + top-k
+# fused): each separate dispatch pays a full tunnel round trip, and the
+# eager call additionally materialized the [B, F, N] comparison mask
+# through HBM instead of fusing it into the top-k.
+@functools.partial(jax.jit, static_argnames=("k",))
+def _serve_topk_f32(user_emb, users, item_emb, filt, k):
+    u = jnp.take(user_emb, users, axis=0)
+    return masked_topk_scores(u, item_emb, filt, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _serve_topk_int8(user_emb, users, item_q, item_scale, filt, k):
+    u = jnp.take(user_emb, users, axis=0)
+    return quantized_topk_scores(u, item_q, item_scale, filt, k)
 
 
 def _bucket_up(n: int, floor: int, mult: int = 4) -> int:
@@ -114,11 +126,13 @@ class Retriever:
         users_pad = np.zeros(b_pad, np.int32)
         users_pad[:n_req] = users
         filt = jnp.asarray(self._filter_batch(users_pad, filter_seen))
-        u = jnp.take(self.user_emb, jnp.asarray(users_pad), axis=0)
+        users_d = jnp.asarray(users_pad)
         if self.quantized:
-            vals, idx = quantized_topk_scores(
-                u, self.item_q, self.item_scale, filt, k
+            vals, idx = _serve_topk_int8(
+                self.user_emb, users_d, self.item_q, self.item_scale, filt, k
             )
         else:
-            vals, idx = _masked_topk_scores_jit(u, self.item_emb, filt, k)
+            vals, idx = _serve_topk_f32(
+                self.user_emb, users_d, self.item_emb, filt, k
+            )
         return np.asarray(vals)[:n_req], np.asarray(idx)[:n_req]

@@ -1,0 +1,87 @@
+"""Measure serving throughput/latency of serve.Retriever on the TPU.
+
+The evaluator's 680k-QPS top-k number is a *batched, scanned* figure (one
+device dispatch per tier); serving answers per-REQUEST, so each
+recommend() call pays one dispatch + result fetch through the axon
+tunnel.  This measures the end-to-end serving rate a client actually
+sees, f32 vs int8 catalog, at books scale.
+
+Timing per the PERF.md rules: np.asarray on the returned top-k forces
+completion, so wall-clock across sequential calls is honest; the first
+call per (batch, filter-width) ladder shape compiles and is excluded.
+
+Usage: python tools/exp_serve.py [--users 50000 --items 20000 --batch 1024]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--users", type=int, default=50_000)
+    ap.add_argument("--items", type=int, default=20_000)
+    ap.add_argument("--brands", type=int, default=2_000)
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--reqs", type=int, default=20)
+    ap.add_argument("--k", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+
+    from gcn_recommendation_tpu.config import Config
+    from gcn_recommendation_tpu.data.synthetic import synthetic_bundle
+    from gcn_recommendation_tpu.models import get_model
+    from gcn_recommendation_tpu.serve import Retriever
+
+    print(f"devices: {jax.devices()}")
+    bundle = synthetic_bundle(
+        num_users=args.users, num_items=args.items, num_brands=args.brands,
+        mean_degree=28.0, core=8, seed=42,
+    )
+    cfg = Config(embedding_dim=64, n_layers=3)
+    model = get_model("LightGCN")(
+        bundle.num_users, bundle.num_items, bundle.num_brands, cfg
+    )
+    params = model.init(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    batches = [
+        rng.integers(0, args.users, args.batch).astype(np.int32)
+        for _ in range(args.reqs + 1)
+    ]
+
+    for quant in (False, True):
+        r = Retriever.from_params(model, params, bundle, quantize=quant)
+        # warm the ladder shapes (compile) with the throwaway batch
+        r.recommend(batches[0], k=args.k)
+        t0 = time.perf_counter()
+        for b in batches[1:]:
+            scores, items = r.recommend(b, k=args.k)
+        dt = time.perf_counter() - t0
+        assert items.shape == (args.batch, args.k)
+        per_req_ms = dt / args.reqs * 1e3
+        qps = args.reqs * args.batch / dt
+        print(
+            f"catalog={'int8' if quant else 'f32 '}  "
+            f"{per_req_ms:7.2f} ms / {args.batch}-user request  "
+            f"{qps:10,.0f} users/s  (k={args.k}, {args.items} items)"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
