@@ -192,7 +192,9 @@ class Trainer:
         cfg = self.config
         n_steps = self.steps_per_epoch
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        donate = (0, 1) if getattr(cfg, "donate_state", True) else ()
+
+        @functools.partial(jax.jit, donate_argnums=donate)
         def run_epoch(params, opt_state, key, arrays: TrainArrays):
             perm_key, key = jax.random.split(key)
             batches = epoch_batches(perm_key, self.n_train, cfg.batch_size)
