@@ -132,3 +132,58 @@ def test_cli_sharded_train_both_schedules(tmp_path):
     )
     assert r.returncode != 0
     assert "needs 12 devices" in r.stderr
+
+
+@pytest.mark.slow
+def test_crash_resume_roundtrip(tmp_path):
+    """Elastic-recovery proof: SIGKILL training after its first
+    checkpoint, then --resume must continue from the saved epoch (not
+    epoch 1) and finish with artifacts intact (SURVEY.md §5 failure
+    detection / recovery — absent in the reference)."""
+    import signal
+    import time
+
+    data = str(tmp_path / "data")
+    r = _run(
+        ["prepare", "--recipe", "synthetic", "--num_users", "300",
+         "--num_items", "200", "--num_brands", "20", "--core", "16",
+         "--style", "latent", "--output_dir", data],
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    out_root = str(tmp_path / "out")
+    env = dict(os.environ)
+    env["GCN_TPU_FORCE_PLATFORM"] = "cpu"
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.Popen(
+        [sys.executable, "-u", "-m", "gcn_recommendation_tpu", "train",
+         "--processed_dir", data, "--epochs", "30", "--batch_size", "256",
+         "--output_root", out_root],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True,
+    )
+    # kill -9 as soon as the first rolling checkpoint lands (epoch 5)
+    saw_epoch5 = False
+    deadline = time.time() + 300
+    for line in proc.stdout:
+        if "Epoch 5 |" in line:
+            saw_epoch5 = True
+        if saw_epoch5 and "Epoch 7/" in line:
+            proc.kill()  # SIGKILL the exact child PID — never by pattern
+            break
+        assert time.time() < deadline, "training never reached epoch 7"
+    proc.wait(timeout=60)
+    assert saw_epoch5
+
+    ckpt_root = os.path.join(out_root, "exp", "checkpoints", "checkpoints")
+    runs = os.listdir(ckpt_root)
+    assert runs, "no checkpoint dir written before the kill"
+
+    r = _run(
+        ["train", "--processed_dir", data, "--epochs", "10",
+         "--batch_size", "256", "--resume", "--output_root", out_root],
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Resumed from epoch 5" in r.stdout
+    assert "Epoch 6/10" in r.stdout and "Epoch 1/10" not in r.stdout
+    assert "Val Recall@20" in r.stdout
