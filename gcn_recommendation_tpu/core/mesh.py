@@ -73,13 +73,16 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
-def local_mesh_for_testing(n_devices: int = 8) -> Mesh:
-    """A 1-D data mesh over however many (virtual) devices exist.
+def local_mesh_for_testing(n_devices: Optional[int] = None) -> Mesh:
+    """A 1-D data mesh over however many (virtual) devices exist
+    (or exactly ``n_devices`` when given).
 
     Tests run under XLA_FLAGS=--xla_force_host_platform_device_count=8 on
     CPU (see tests/conftest.py), matching SURVEY.md §4's multi-host
     simulation strategy.
     """
+    if n_devices is None:
+        n_devices = len(jax.devices())
     return create_mesh(MeshSpec(data=n_devices, model=1))
 
 

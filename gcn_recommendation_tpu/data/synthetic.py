@@ -8,8 +8,14 @@ is exercised end-to-end without the raw Amazon/Steam review dumps (which
 are not redistributable and absent from the reference snapshot).
 
 The generator mimics the statistical shape of K-core-filtered review
-data: Zipf-ish item popularity, lognormal user activity with a floor of
-``core`` interactions per user, one or two brands per item.
+data: Zipf-ish item popularity, lognormal user activity targeting at
+least ``core`` interactions per user, one or two brands per item.
+Caveat: ``core`` is a *sampling floor before deduplication*, not a
+strict K-core guarantee — popularity-mode draws with replacement can
+collide and leave a user below ``core`` unique items, and item degrees
+are never floored.  The artifacts are named ``processed_data_{core}``
+for path compatibility with the real recipes, but consumers must not
+assume the K-core property holds on synthetic data.
 """
 
 from __future__ import annotations

@@ -65,6 +65,27 @@ def default_width_schedule(deg: int) -> int:
     return w
 
 
+def width_schedule_vec(deg: np.ndarray) -> np.ndarray:
+    """Vectorized ``default_width_schedule`` over a degree array
+    (tests/test_graph.py asserts agreement with the scalar spec)."""
+    width_class = np.zeros(deg.shape[0], dtype=np.int64)
+    m = deg > 0
+    width_class[m] = ((deg[m] + 7) // 8) * 8
+    width_class[deg == 1] = 1
+    width_class[deg == 2] = 2
+    width_class[(deg == 3) | (deg == 4)] = 4
+    m = deg > 64
+    width_class[m] = ((deg[m] + 31) // 32) * 32
+    m = deg > 256
+    width_class[m] = ((deg[m] + 127) // 128) * 128
+    m = deg > 1024
+    if m.any():
+        width_class[m] = np.power(
+            2, np.ceil(np.log2(deg[m].astype(np.float64)))
+        ).astype(np.int64).clip(2048, None)
+    return width_class
+
+
 @dataclasses.dataclass
 class EllBucket:
     """One degree bucket of the ELL view.
@@ -201,7 +222,9 @@ def bucket_by_degree(
             or dense_threshold >= max(int(deg.max()), 1)
         ):
             break
-        dense_threshold *= 2
+        # (guard: a caller-provided threshold <= 0 would never grow by
+        # doubling — "densify everything" sweeps pass 0)
+        dense_threshold = dense_threshold * 2 if dense_threshold > 0 else 1
     dense_node_ids = np.flatnonzero(hub_mask).astype(np.int64)
     h = len(dense_node_ids)
     dense_mat = np.zeros((h, num_src_nodes), dtype=np.float32)
@@ -212,24 +235,12 @@ def bucket_by_degree(
         flat_edge = np.concatenate(
             [np.arange(s, s + l) for s, l in zip(starts, lengths)]
         )
-        dense_mat[flat_rows, src_sorted[flat_edge]] += w_sorted[flat_edge]
+        # np.add.at (not fancy-index +=) so duplicate (dst, src) pairs
+        # accumulate exactly like the ELL bucket path, which gives each
+        # duplicate its own padded slot and sums them in the reduction
+        np.add.at(dense_mat, (flat_rows, src_sorted[flat_edge]), w_sorted[flat_edge])
 
-    # vectorized width schedule (see default_width_schedule)
-    width_class = np.zeros(num_nodes, dtype=np.int64)
-    m = deg > 0
-    width_class[m] = ((deg[m] + 7) // 8) * 8
-    width_class[deg == 1] = 1
-    width_class[deg == 2] = 2
-    width_class[(deg == 3) | (deg == 4)] = 4
-    m = deg > 64
-    width_class[m] = ((deg[m] + 31) // 32) * 32
-    m = deg > 256
-    width_class[m] = ((deg[m] + 127) // 128) * 128
-    m = deg > 1024
-    if m.any():
-        width_class[m] = np.power(
-            2, np.ceil(np.log2(deg[m].astype(np.float64)))
-        ).astype(np.int64).clip(2048, None)
+    width_class = width_schedule_vec(deg)
     buckets: List[EllBucket] = []
     # gather position for each node; default -> trailing zero row
     gather_idx = np.full(num_nodes, -1, dtype=np.int64)
@@ -313,8 +324,11 @@ def build_normalized_adjacency(
     # dst-major sorted COO: reuse (row, col) sort order with dst := row.
     # (Symmetric matrix, so propagating "out[dst] += w * emb[src]" with
     # dst=row, src=col matches A @ E exactly.)  Native C++ fast path when
-    # built (native/gcnrec.cpp), numpy fallback otherwise — bit-identical
-    # results (see tests/test_native.py).
+    # built (native/gcnrec.cpp), numpy fallback otherwise.  The two agree
+    # to ~2 ULP, not bitwise: the native path normalizes in float32 while
+    # the numpy path multiplies in float64 and rounds once
+    # (tests/test_native.py asserts rtol=1e-6) — don't expect bit-level
+    # run reproducibility across environments with/without the toolchain.
     try:
         from gcn_recommendation_tpu.data.native_ext import build_norm_edges_native
 

@@ -3,10 +3,15 @@
 The reference has no profiling at all (SURVEY.md §5 — tqdm bars only).
 This module provides:
 
-* ``StepTimer`` — wall-clock timing with device synchronization, used by
-  the trainer and bench.py for the examples/sec/chip north-star metric;
+* ``StepTimer`` — wall-clock timing that synchronizes by FETCHING a
+  value from ``sync_on`` (``jax.block_until_ready`` is a silent no-op on
+  the axon TPU tunnel — PERF.md measurement rules / CLAUDE.md — so any
+  timer built on it would measure dispatch, not execution);
 * ``trace`` — context manager around ``jax.profiler`` for on-demand
   TensorBoard traces (``GCN_TPU_TRACE_DIR`` env var enables it).
+
+The trainer and bench.py time their own scans inline (one dispatch per
+epoch, fetch the loss array); StepTimer is for ad-hoc experiments.
 """
 
 from __future__ import annotations
@@ -17,10 +22,11 @@ import time
 from typing import List, Optional
 
 import jax
+import numpy as np
 
 
 class StepTimer:
-    """Accumulates per-step durations; syncs the device on stop."""
+    """Accumulates per-step durations; syncs on stop by fetching."""
 
     def __init__(self):
         self.durations: List[float] = []
@@ -31,7 +37,11 @@ class StepTimer:
 
     def stop(self, sync_on=None) -> float:
         if sync_on is not None:
-            jax.block_until_ready(sync_on)
+            # fetch one leaf to host — the only completion barrier that
+            # actually waits on the axon tunnel (block_until_ready no-ops)
+            leaves = jax.tree.leaves(sync_on)
+            if leaves:
+                np.asarray(leaves[0])
         dt = time.perf_counter() - self._t0
         self.durations.append(dt)
         return dt

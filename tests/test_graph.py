@@ -105,3 +105,44 @@ def test_normalize_sym_isolated_inf_guard():
     w = normalize_sym(rows, cols, vals, num_nodes=4)  # nodes 2,3 isolated
     assert np.isfinite(w).all()
     np.testing.assert_allclose(w, [1.0, 1.0])
+
+
+def test_width_schedule_scalar_and_vectorized_agree():
+    """default_width_schedule is the documented spec; bucket_by_degree
+    uses width_schedule_vec — they must agree at every degree (incl. the
+    1/2/4 colsum widths and all bucket boundaries)."""
+    from gcn_recommendation_tpu.graph.build import (
+        default_width_schedule,
+        width_schedule_vec,
+    )
+
+    degs = np.concatenate([
+        np.arange(1, 1100),
+        np.array([1024, 1025, 2047, 2048, 2049, 4096, 4097, 8191, 8192]),
+    ]).astype(np.int64)
+    vec = width_schedule_vec(degs)
+    scalar = np.array([default_width_schedule(int(d)) for d in degs])
+    np.testing.assert_array_equal(vec, scalar)
+
+
+def test_bucket_by_degree_zero_threshold_terminates_and_caps():
+    """dense_threshold <= 0 ('densify everything') must terminate even
+    when the dense block exceeds max_dense_bytes (regression: the budget
+    loop doubled the threshold, and 0*2 == 0 looped forever)."""
+    from gcn_recommendation_tpu.graph.build import bucket_by_degree
+
+    rng = np.random.default_rng(0)
+    n = 200
+    dst = rng.integers(0, n, 2000).astype(np.int64)
+    src = rng.integers(0, n, 2000).astype(np.int64)
+    w = rng.random(2000).astype(np.float64)
+    # budget allows only a handful of dense rows -> threshold must grow
+    buckets, gidx, hub_ids, dense = bucket_by_degree(
+        dst, src, w, n, dense_threshold=0, max_dense_bytes=n * 4 * 4
+    )
+    assert dense.shape[0] * n * 4 <= n * 4 * 4  # budget respected
+    # coverage: every edge lands somewhere (dense + buckets) — duplicate
+    # (dst, src) pairs collapse into one dense cell, so compare the
+    # accumulated weight mass rather than nonzero counts
+    mass = sum(float(b.nbr_w.sum()) for b in buckets) + float(dense.sum())
+    np.testing.assert_allclose(mass, float(w.sum()), rtol=1e-6)
