@@ -202,30 +202,31 @@ def propagate(emb: jax.Array, graph, num_nodes: int, *, path: str = "ell"):
 # Source-chunked ELL — large-graph path (the "gather knee", PERF.md)
 # ---------------------------------------------------------------------------
 
-# Measured on v5e (PERF.md "gather knee"): XLA row-gather runs ~2.5 ns/row
-# while the source table has fewer than ~200-220k ROWS and ~5.3 ns/row
-# above — the knee is on row count, not bytes (72k x 256 f32 = 74 MB is
-# fast; 288k x 64 f32 = 74 MB is slow).  Propagation on big graphs
-# therefore gathers from sub-tables of <= GATHER_KNEE_ROWS rows of the
-# embedding block (chunk-local neighbor ids), ~1.8x faster per row.
-GATHER_KNEE_ROWS = 180_000
+# Measured on v5e (PERF.md "gather knee"): the XLA row-gather rate is
+# bimodal on the source table's ROW COUNT, and the knee position is
+# DIM-DEPENDENT (tools/exp_dim_split.py):
+#   d <= 128 lanes: ~1.7-2.5 ns/row under ~180-200k rows, ~4.3-5.3 above
+#   d  = 256 lanes: ~2.9 ns/row at 90k rows, ~5.9 already at 180k rows
+# Propagation on big graphs therefore gathers from sub-tables of at most
+# knee_rows_for(d) rows of the embedding block (chunk-local neighbor
+# ids), ~1.8-2x faster per row.  Earlier sweeps that kept 180k-row
+# chunks at d=256 sat ABOVE that dim's knee and measured no win
+# (plain 2661.7 ms/step vs 2886.1/2908.3 at 2/4 chunks); 8 chunks
+# (90k rows) measures 1708.8 ms/step — 1.56x — on the same stress-scale
+# dim-256 4-layer config.
+GATHER_KNEE_ROWS = 180_000        # d <= 128
+GATHER_KNEE_ROWS_WIDE = 90_000    # d > 128 (measured at d=256)
 
 
-# The knee's fast/slow rate split only exists up to 128 lanes: at d=256
-# the above-knee gather runs ~9.4 ns/row *and* the under-knee rate pays
-# the same lane penalty, so chunking buys nothing while its merge +
-# f32-accumulator overheads scale with d.  Measured at stress scale
-# (720k nodes, d=256 4-layer): plain 2661.7 ms/step vs 2886.1 (2 chunks)
-# vs 2908.3 (4 chunks) — the auto rule therefore chunks only at d <= 128.
-CHUNK_MAX_DIM = 128
+def knee_rows_for(embedding_dim: int) -> int:
+    """Gather-knee row count for this embedding width."""
+    return GATHER_KNEE_ROWS if embedding_dim <= 128 else GATHER_KNEE_ROWS_WIDE
 
 
 def num_chunks_for(num_nodes: int, embedding_dim: int = 64) -> int:
-    """Chunk count so each source sub-table stays under the gather knee
-    (1 = don't chunk; always 1 for wide embeddings, see CHUNK_MAX_DIM)."""
-    if embedding_dim > CHUNK_MAX_DIM:
-        return 1
-    return max(1, -(-num_nodes // GATHER_KNEE_ROWS))
+    """Chunk count so each source sub-table stays under the (dim-aware)
+    gather knee (1 = don't chunk)."""
+    return max(1, -(-num_nodes // knee_rows_for(embedding_dim)))
 
 
 def to_device_graph_auto(

@@ -311,8 +311,13 @@ def test_to_device_graph_auto_knee_rule(graph_and_dense, monkeypatch):
     assert isinstance(to_device_graph_auto(g), DeviceGraph)
     monkeypatch.setattr(spmm, "GATHER_KNEE_ROWS", max(1, g.num_nodes // 2))
     assert isinstance(to_device_graph_auto(g), ChunkedDeviceGraph)
-    # wide embeddings never chunk: above-knee gathers at d > 128 pay the
-    # lane penalty either way, so chunk overheads only lose (PERF.md)
+    # the knee is dim-aware: wide embeddings use the (smaller) wide-dim
+    # knee, so a graph under the d<=128 knee can still chunk at d=256
+    # (measured 1.56x at stress scale — tools/exp_dim_split.py, PERF.md)
     assert isinstance(
         to_device_graph_auto(g, embedding_dim=256), DeviceGraph
-    )
+    )  # real wide knee (90k rows) far above this tiny graph
+    monkeypatch.setattr(spmm, "GATHER_KNEE_ROWS_WIDE", max(1, g.num_nodes // 4))
+    chunked_wide = to_device_graph_auto(g, embedding_dim=256)
+    assert isinstance(chunked_wide, ChunkedDeviceGraph)
+    assert len(chunked_wide.chunk_gather_idx) >= 4
