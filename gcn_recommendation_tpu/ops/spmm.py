@@ -203,30 +203,40 @@ def propagate(emb: jax.Array, graph, num_nodes: int, *, path: str = "ell"):
 # ---------------------------------------------------------------------------
 
 # Measured on v5e (PERF.md "gather knee"): the XLA row-gather rate is
-# bimodal on the source table's ROW COUNT, and the knee position is
-# DIM-DEPENDENT (tools/exp_dim_split.py):
-#   d <= 128 lanes: ~1.7-2.5 ns/row under ~180-200k rows, ~4.3-5.3 above
-#   d  = 256 lanes: ~2.9 ns/row at 90k rows, ~5.9 already at 180k rows
-# Propagation on big graphs therefore gathers from sub-tables of at most
-# knee_rows_for(d) rows of the embedding block (chunk-local neighbor
-# ids), ~1.8-2x faster per row.  Earlier sweeps that kept 180k-row
-# chunks at d=256 sat ABOVE that dim's knee and measured no win
-# (plain 2661.7 ms/step vs 2886.1/2908.3 at 2/4 chunks); 8 chunks
-# (90k rows) measures 1708.8 ms/step — 1.56x — on the same stress-scale
-# dim-256 4-layer config.
-GATHER_KNEE_ROWS = 180_000        # d <= 128
-GATHER_KNEE_ROWS_WIDE = 90_000    # d > 128 (measured at d=256)
+# bimodal, and the knee position collapses onto the source table's
+# (sublane, 128-lane) TILE COUNT — not raw rows and not bytes
+# (tools/exp_dim_split.py + the bf16 probe):
+#
+#   f32 d<=128: fast <= 180k rows (= 22.5k tiles), slow at 360k
+#   f32 d=256:  fast <=  90k rows (rows span 2 lane-tiles -> 22.5k), slow at 180k
+#   bf16 d=64:  fast <= 360k rows (16-row sublane tiles -> 22.5k), slow at 720k
+#
+# i.e. the fast region ends at ~22.5k tiles of (8 rows f32 / 16 rows
+# bf16) x 128 lanes.  Propagation on big graphs therefore gathers from
+# sub-tables of at most knee_rows_for(d, dtype) rows of the embedding
+# block (chunk-local neighbor ids), ~1.8-2x faster per row.  Earlier
+# sweeps that kept 180k-row chunks at d=256 sat ABOVE that dim's knee
+# and measured no win (plain 2661.7 ms/step vs 2886.1/2908.3 at 2/4
+# chunks); 8 chunks (90k rows) measure 1708.8 ms/step — 1.56x — on the
+# same stress-scale dim-256 4-layer config.
+GATHER_KNEE_ROWS = 180_000   # f32, d <= 128 (the measured anchor)
 
 
-def knee_rows_for(embedding_dim: int) -> int:
-    """Gather-knee row count for this embedding width."""
-    return GATHER_KNEE_ROWS if embedding_dim <= 128 else GATHER_KNEE_ROWS_WIDE
+def knee_rows_for(embedding_dim: int, compute_dtype=jnp.float32) -> int:
+    """Gather-knee row count for this embedding width/storage dtype
+    (tile-count model above; d=256 f32 and d=64 bf16 points measured,
+    other combinations extrapolated)."""
+    lane_tiles_per_row = max(1, -(-int(embedding_dim) // 128))
+    sublane = 16 if jnp.dtype(compute_dtype) == jnp.bfloat16 else 8
+    return GATHER_KNEE_ROWS * (sublane // 8) // lane_tiles_per_row
 
 
-def num_chunks_for(num_nodes: int, embedding_dim: int = 64) -> int:
-    """Chunk count so each source sub-table stays under the (dim-aware)
-    gather knee (1 = don't chunk)."""
-    return max(1, -(-num_nodes // knee_rows_for(embedding_dim)))
+def num_chunks_for(
+    num_nodes: int, embedding_dim: int = 64, compute_dtype=jnp.float32
+) -> int:
+    """Chunk count so each source sub-table stays under the (dim- and
+    dtype-aware) gather knee (1 = don't chunk)."""
+    return max(1, -(-num_nodes // knee_rows_for(embedding_dim, compute_dtype)))
 
 
 def to_device_graph_auto(
@@ -238,7 +248,7 @@ def to_device_graph_auto(
     so a big graph propagates at the fast chunked rate everywhere; the
     sharded trainers keep the plain layout (row-sharding already puts
     each device's shard under the knee)."""
-    n_chunks = num_chunks_for(g.num_nodes, embedding_dim)
+    n_chunks = num_chunks_for(g.num_nodes, embedding_dim, compute_dtype)
     if n_chunks > 1:
         return to_device_chunked_graph(
             g, n_chunks, compute_dtype=compute_dtype, dense_dtype=dense_dtype

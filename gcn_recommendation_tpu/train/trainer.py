@@ -110,7 +110,7 @@ class Trainer:
         """Device adjacency for ``arrays.graph`` (plain or source-chunked by
         the gather-knee rule; subclasses substitute their own layout)."""
         n_chunks = num_chunks_for(
-            self.bundle.graph.num_nodes, self.config.embedding_dim
+            self.bundle.graph.num_nodes, self.config.embedding_dim, cdtype
         )
         if self.graph_chunking and n_chunks > 1:
             print(f"Graph: source-chunked gathers ({n_chunks} chunks — "

@@ -309,15 +309,40 @@ def test_to_device_graph_auto_knee_rule(graph_and_dense, monkeypatch):
 
     g, _ = graph_and_dense
     assert isinstance(to_device_graph_auto(g), DeviceGraph)
-    monkeypatch.setattr(spmm, "GATHER_KNEE_ROWS", max(1, g.num_nodes // 2))
+    # real knees (180k rows at d<=128, 90k at d=256 — the tile model) are
+    # far above this tiny graph at every dim
+    assert isinstance(to_device_graph_auto(g, embedding_dim=256), DeviceGraph)
+    monkeypatch.setattr(spmm, "GATHER_KNEE_ROWS", max(2, g.num_nodes // 2))
     assert isinstance(to_device_graph_auto(g), ChunkedDeviceGraph)
-    # the knee is dim-aware: wide embeddings use the (smaller) wide-dim
-    # knee, so a graph under the d<=128 knee can still chunk at d=256
-    # (measured 1.56x at stress scale — tools/exp_dim_split.py, PERF.md)
-    assert isinstance(
-        to_device_graph_auto(g, embedding_dim=256), DeviceGraph
-    )  # real wide knee (90k rows) far above this tiny graph
-    monkeypatch.setattr(spmm, "GATHER_KNEE_ROWS_WIDE", max(1, g.num_nodes // 4))
+    # the knee is dim-aware via the tile model: at d=256 each row spans
+    # two lane-tiles, so the same base constant halves and the wide graph
+    # chunks ~2x deeper (measured 1.56x at stress scale —
+    # tools/exp_dim_split.py, PERF.md)
     chunked_wide = to_device_graph_auto(g, embedding_dim=256)
     assert isinstance(chunked_wide, ChunkedDeviceGraph)
-    assert len(chunked_wide.chunk_gather_idx) >= 4
+    assert len(chunked_wide.chunk_gather_idx) >= len(
+        to_device_graph_auto(g).chunk_gather_idx
+    )
+
+
+def test_knee_rows_tile_model():
+    """knee_rows_for implements the measured tile-count model: the fast
+    gather region ends at ~22.5k (sublane x 128-lane) tiles — anchors
+    f32 d<=128 -> 180k rows, f32 d=256 -> 90k, bf16 d=64 -> 360k
+    (PERF.md gather-knee table)."""
+    import jax.numpy as jnp
+
+    from gcn_recommendation_tpu.ops.spmm import knee_rows_for, num_chunks_for
+
+    assert knee_rows_for(64) == 180_000
+    assert knee_rows_for(128) == 180_000
+    assert knee_rows_for(256) == 90_000
+    assert knee_rows_for(512) == 45_000
+    assert knee_rows_for(64, jnp.bfloat16) == 360_000
+    assert knee_rows_for(256, jnp.bfloat16) == 180_000
+    # stress-scale configs: 720k nodes
+    assert num_chunks_for(720_000, 64) == 4
+    assert num_chunks_for(720_000, 256) == 8
+    assert num_chunks_for(720_000, 64, jnp.bfloat16) == 2
+    # bench scale never chunks at any dim
+    assert num_chunks_for(72_000, 256) == 1

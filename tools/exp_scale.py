@@ -88,7 +88,7 @@ def main():
             Trainer.graph_chunking = False
         else:
             import gcn_recommendation_tpu.train.trainer as _tr
-            _tr.num_chunks_for = lambda n, d=64: cli.chunks
+            _tr.num_chunks_for = lambda n, d=64, ct=None: cli.chunks
     trainer = Trainer(cfg, model, bundle)
     trainer.steps_per_epoch = STEPS
     trainer._epoch_fn_jit = trainer._build_epoch_fn()
