@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--chunks", type=int, default=None,
                     help="override graph chunking: 0 = plain layout, "
                          "N = force N source chunks; default = auto rule")
+    ap.add_argument("--compute_dtype", type=str, default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="propagation storage dtype (the tile-model knee "
+                         "halves the chunk count under bfloat16)")
     cli = ap.parse_args()
 
     import jax
@@ -74,10 +78,12 @@ def main():
         flush=True,
     )
 
-    cfg = Config(batch_size=BATCH, embedding_dim=cli.dim, n_layers=cli.layers)
+    cfg = Config(batch_size=BATCH, embedding_dim=cli.dim, n_layers=cli.layers,
+                 compute_dtype=cli.compute_dtype)
     if cli.eval_batch:
         cfg.eval_user_batch = cli.eval_batch
-    print(f"config: dim={cli.dim} layers={cli.layers} chunks={cli.chunks}", flush=True)
+    print(f"config: dim={cli.dim} layers={cli.layers} chunks={cli.chunks} "
+          f"dtype={cli.compute_dtype}", flush=True)
     model = get_model("LightGCN")(
         bundle.num_users, bundle.num_items, bundle.num_brands, cfg
     )
