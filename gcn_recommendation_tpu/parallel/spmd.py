@@ -183,7 +183,10 @@ def _local_masked_topk(
     ``k`` may exceed ``shard_items`` (legitimate when the merged catalog
     across shards is still >= k): the local top-k is clamped and padded
     back to k with MASK_VALUE sentinels, which the cross-shard merge
-    then never selects ahead of real candidates.
+    then never selects ahead of real candidates.  Pad slots carry an
+    out-of-catalog *index* sentinel too (num_valid_items, or the padded
+    catalog size) — if the total unmasked candidates across shards are
+    fewer than k, the merged top-k must not fabricate real item ids.
     """
     idx = jax.lax.axis_index(axis)
     offset = idx * shard_items
@@ -201,13 +204,24 @@ def _local_masked_topk(
     )
     kk = min(k, shard_items)
     vals, loc = masked_topk(scores, local_filter, kk)
+    # index sentinel >= the catalog size, so a non-candidate slot that
+    # survives the merge (fewer than k real candidates overall) is
+    # distinguishable from every real item id.  Covers both the kk < k
+    # pad slots below AND masked/pad entries masked_topk itself returns
+    # at MASK_VALUE when a shard has fewer than kk unmasked items.
+    sentinel = (
+        num_valid_items
+        if num_valid_items is not None
+        else shard_items * jax.lax.axis_size(axis)
+    )
+    loc = jnp.where(vals == MASK_VALUE, sentinel - offset, loc)
     if kk < k:
         b = vals.shape[0]
         vals = jnp.concatenate(
             [vals, jnp.full((b, k - kk), MASK_VALUE, vals.dtype)], axis=1
         )
         loc = jnp.concatenate(
-            [loc, jnp.zeros((b, k - kk), loc.dtype)], axis=1
+            [loc, jnp.full((b, k - kk), sentinel - offset, loc.dtype)], axis=1
         )
     return vals, loc + offset
 

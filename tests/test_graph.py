@@ -52,9 +52,9 @@ def test_normalized_weights_match_scipy(use_brand):
     )
     ref = _scipy_norm_adj(u, i, bi, bb, nu, ni, nb, use_brand)
     # rebuild dense from our COO view
-    n = g.num_nodes
-    ours = np.zeros((n, n), np.float64)
-    ours[g.dst, g.src] += g.weight  # padding has weight 0
+    from helpers import dense_from_graph
+
+    ours = dense_from_graph(g, np.float64)
     np.testing.assert_allclose(ours, ref.toarray(), rtol=1e-6, atol=1e-7)
 
 
@@ -65,9 +65,9 @@ def test_duplicate_edges_summed_like_coo_matrix():
     i = np.array([0, 0, 1])
     g = build_normalized_adjacency(u, i, 2, 2, 1, use_brand=False, pad_multiple=8)
     ref = _scipy_norm_adj(u, i, np.array([], int), np.array([], int), 2, 2, 1, False)
-    n = g.num_nodes
-    ours = np.zeros((n, n))
-    ours[g.dst, g.src] += g.weight
+    from helpers import dense_from_graph
+
+    ours = dense_from_graph(g, np.float64)
     np.testing.assert_allclose(ours, ref.toarray(), rtol=1e-6)
 
 

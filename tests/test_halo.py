@@ -21,10 +21,9 @@ def setup():
     g = build_normalized_adjacency(
         u, i, nu, ni, nb, item_brand_item_idx=bi, item_brand_brand_idx=bb
     )
-    n = g.num_nodes
-    dense = np.zeros((n, n), np.float32)
-    dense[g.dst, g.src] += g.weight
-    return g, dense
+    from helpers import dense_from_graph
+
+    return g, dense_from_graph(g)
 
 
 def _dense_mean(dense, ego, layers):

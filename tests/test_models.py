@@ -22,9 +22,9 @@ def small_setup():
     g = build_normalized_adjacency(
         u, i, nu, ni, nb, item_brand_item_idx=bi, item_brand_brand_idx=bb
     )
-    n = g.num_nodes
-    dense = np.zeros((n, n), np.float32)
-    dense[g.dst, g.src] += g.weight
+    from helpers import dense_from_graph
+
+    dense = dense_from_graph(g)
     cfg = Config(embedding_dim=16, n_layers=3, debug=False)
     return g, dense, cfg, (nu, ni, nb)
 

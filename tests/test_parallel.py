@@ -63,6 +63,38 @@ def test_sharded_topk_excludes_pad_rows_on_negative_scores():
     assert int(np.asarray(idx).max()) < I
 
 
+def test_sharded_topk_starved_candidates_use_index_sentinel():
+    # Fewer real candidates than k across all shards: the pad slots must
+    # carry an out-of-catalog index (>= num_valid_items), never a
+    # fabricated real item id (ADVICE.md round-1 finding).
+    rng = np.random.default_rng(2)
+    B, I, d, k = 4, 6, 8, 20
+    mesh = create_mesh(MeshSpec(data=2, model=4))
+    u = rng.standard_normal((B, d)).astype(np.float32)
+    items = rng.standard_normal((I, d)).astype(np.float32)
+    items_pad = pad_rows(items, 4 * 8)
+    # user 0 additionally has every real item filtered
+    filt = np.full((B, I), I + 1000, np.int32)
+    filt[0] = np.arange(I, dtype=np.int32)
+    from gcn_recommendation_tpu.ops.topk import MASK_VALUE
+
+    vals, idx = sharded_topk_eval_batch(
+        mesh, jnp.asarray(u), jnp.asarray(items_pad), jnp.asarray(filt),
+        k, num_valid_items=I,
+    )
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    # only I real candidates exist -> the tail k - I slots are sentinels
+    masked = vals <= MASK_VALUE / 2
+    assert masked[:, I:].all()
+    assert (idx[masked] >= I).all(), "pad slot leaked a real item id"
+    assert masked[0].all(), "fully-filtered user should have no candidates"
+    # unfiltered users still get the I real items first, ranked correctly
+    ref_vals, ref_idx = masked_topk_scores(
+        jnp.asarray(u[1:]), jnp.asarray(items), jnp.asarray(filt[1:]), I
+    )
+    np.testing.assert_array_equal(idx[1:, :I], np.asarray(ref_idx))
+
+
 @pytest.fixture()
 def sharded_pair(tiny_bundle, tmp_path):
     bundle, _ = tiny_bundle

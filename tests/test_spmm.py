@@ -26,10 +26,9 @@ def graph_and_dense():
         u, i, nu, ni, nb, item_brand_item_idx=bi, item_brand_brand_idx=bb,
         pad_multiple=128,
     )
-    n = g.num_nodes
-    dense = np.zeros((n, n), np.float32)
-    dense[g.dst, g.src] += g.weight
-    return g, dense
+    from helpers import dense_from_graph
+
+    return g, dense_from_graph(g)
 
 
 def test_coo_path_matches_dense(graph_and_dense):
