@@ -56,6 +56,11 @@ class LightGCN:
         self.num_users = num_users
         self.num_items = num_items
         self.num_brands = num_brands
+        # padded table sizes (== logical until set_row_multiple is called)
+        self.row_multiple = 1
+        self.num_users_pad = num_users
+        self.num_items_pad = num_items
+        self.num_brands_pad = num_brands
         self.embedding_dim = config.embedding_dim
         self.n_layers = config.n_layers
         self.param_dtype = jnp.dtype(getattr(config, "param_dtype", "float32"))
@@ -79,6 +84,88 @@ class LightGCN:
         else:
             self.pretrained_item_emb = None
 
+    # --- padded tensor-parallel layout ---
+    def set_row_multiple(self, m: int) -> None:
+        """Pad every embedding table's row count to a multiple of ``m``.
+
+        Row-sharding over the model mesh axis (parallel/spmd.py) needs
+        evenly divisible tables, and real vocab sizes almost never divide
+        the mesh — the reference's exact-size ``nn.Embedding`` tables
+        (main.py:467-469) silently fell back to full replication in
+        round 1.  Pad rows are zero at init, receive zero gradient (the
+        loss only gathers logical rows) and stay zero under Adam; the
+        graph is remapped into the padded node space by
+        graph.build.pad_graph_nodes.  Call before building trainers /
+        initializing params.
+        """
+        m = max(1, int(m))
+        self.row_multiple = m
+        up = lambda n: -(-n // m) * m  # noqa: E731
+        self.num_users_pad = up(self.num_users)
+        self.num_items_pad = up(self.num_items)
+        self.num_brands_pad = up(self.num_brands)
+        # drop the cached jitted apply — offsets changed
+        if hasattr(self, "_apply_jit"):
+            del self._apply_jit
+
+    def needs_row_padding(self, m: int) -> bool:
+        return any(
+            n % m for n in (self.num_users, self.num_items, self.num_brands)
+        )
+
+    def _table_pad_spec(self) -> dict:
+        """params key -> (logical rows, padded rows) for the row-padded
+        tables (shared by pad/unpad_state_tree; Fusion extends it)."""
+        return {
+            "user_embedding": (self.num_users, self.num_users_pad),
+            "item_embedding": (self.num_items, self.num_items_pad),
+            "brand_embedding": (self.num_brands, self.num_brands_pad),
+        }
+
+    def _map_tables(self, tree, fn):
+        """Apply ``fn(x, logical, padded)`` to every leaf whose dict key
+        names a row-padded table — params and optimizer state share the
+        same key structure (optax.adam's mu/nu mirror the params dict)."""
+        spec = self._table_pad_spec()
+
+        def f(path, x):
+            name = getattr(path[-1], "key", None) if path else None
+            if name in spec and getattr(x, "ndim", 0) >= 1:
+                return fn(x, *spec[name])
+            return x
+
+        return jax.tree_util.tree_map_with_path(f, tree)
+
+    def unpad_state_tree(self, tree):
+        """Slice padded table rows back to logical sizes (checkpoints
+        store logical shapes, so they are portable across mesh sizes)."""
+
+        def f(x, logical, padded):
+            return x[:logical] if x.shape[0] == padded != logical else x
+
+        return self._map_tables(tree, f)
+
+    def pad_state_tree(self, tree):
+        """Zero-pad logical table rows to the padded sizes (restoring a
+        logical-shape checkpoint into a padded/sharded trainer)."""
+
+        def f(x, logical, padded):
+            if x.shape[0] == logical != padded:
+                pad = jnp.zeros((padded - logical,) + x.shape[1:], x.dtype)
+                return jnp.concatenate([jnp.asarray(x), pad])
+            return x
+
+        return self._map_tables(tree, f)
+
+    @staticmethod
+    def _pad_rows(x, target):
+        n = x.shape[0]
+        if target == n:
+            return x
+        return jnp.concatenate(
+            [x, jnp.zeros((target - n,) + x.shape[1:], x.dtype)]
+        )
+
     # --- params ---
     def init(self, key: jax.Array) -> dict:
         ku, ki, kb = jax.random.split(key, 3)
@@ -87,10 +174,18 @@ class LightGCN:
             item = jnp.asarray(self.pretrained_item_emb, dtype=self.param_dtype)
         else:
             item = xavier_uniform(ki, (self.num_items, d), self.param_dtype)
+        # logical rows are RNG-identical to the unpadded layout; pad rows
+        # are zero and stay zero (no gradient ever reaches them)
         return {
-            "user_embedding": xavier_uniform(ku, (self.num_users, d), self.param_dtype),
-            "item_embedding": item,
-            "brand_embedding": xavier_uniform(kb, (self.num_brands, d), self.param_dtype),
+            "user_embedding": self._pad_rows(
+                xavier_uniform(ku, (self.num_users, d), self.param_dtype),
+                self.num_users_pad,
+            ),
+            "item_embedding": self._pad_rows(item, self.num_items_pad),
+            "brand_embedding": self._pad_rows(
+                xavier_uniform(kb, (self.num_brands, d), self.param_dtype),
+                self.num_brands_pad,
+            ),
         }
 
     # --- forward ---
@@ -109,9 +204,12 @@ class LightGCN:
         """Forward pass.
 
         Returns (final_user_emb, final_item_emb, final_brand_emb,
-        user_emb_0, item_emb_0), mirroring lightgcn.py:81.
+        user_emb_0, item_emb_0), mirroring lightgcn.py:81.  All five are
+        *logical*-size slices even when the tables are row-padded for
+        tensor parallelism (the graph must then be the padded-node-space
+        remap from graph.build.pad_graph_nodes).
         """
-        num_nodes = self.num_users + self.num_items + self.num_brands
+        num_nodes = self.num_users_pad + self.num_items_pad + self.num_brands_pad
         ego = self._initial_block(params)
         # bf16 storage mode: propagate in compute_dtype, accumulate the
         # layer mean in f32 (exact no-op when compute_dtype == f32)
@@ -121,26 +219,35 @@ class LightGCN:
             x = propagate(x, graph, num_nodes, path=self.prop_path)
             acc = acc + x.astype(jnp.float32)
         final = (acc / (self.n_layers + 1)).astype(ego.dtype)
+        return self._split_final(final, params)
+
+    def _split_final(self, final, params):
+        """Slice the propagated node block back into logical-size
+        (final_user, final_item, final_brand, user0, item0)."""
+        up, ip = self.num_users_pad, self.num_items_pad
         fu = final[: self.num_users]
-        fi = final[self.num_users : self.num_users + self.num_items]
-        fb = final[self.num_users + self.num_items :]
-        return fu, fi, fb, params["user_embedding"], params["item_embedding"]
+        fi = final[up : up + self.num_items]
+        fb = final[up + ip : up + ip + self.num_brands]
+        return (
+            fu,
+            fi,
+            fb,
+            params["user_embedding"][: self.num_users],
+            params["item_embedding"][: self.num_items],
+        )
 
     def apply_with_propagator(self, params: dict, propagator, num_nodes_pad: int):
         """Forward pass through an external propagator (the halo-exchange
         sharded path, parallel/halo.py) that computes the whole
         mean-over-layers in one call.  Same returns as ``apply``."""
-        num_nodes = self.num_users + self.num_items + self.num_brands
+        num_nodes = self.num_users_pad + self.num_items_pad + self.num_brands_pad
         ego = self._initial_block(params)
         if num_nodes_pad > num_nodes:
             ego = jnp.concatenate(
                 [ego, jnp.zeros((num_nodes_pad - num_nodes, ego.shape[1]), ego.dtype)]
             )
         final = propagator(ego)[:num_nodes]
-        fu = final[: self.num_users]
-        fi = final[self.num_users : self.num_users + self.num_items]
-        fb = final[self.num_users + self.num_items :]
-        return fu, fi, fb, params["user_embedding"], params["item_embedding"]
+        return self._split_final(final, params)
 
 
 def debug_diagnostics(model, params, graph_np, max_nodes: int = 20000, n_probe: int = 100, seed: int = 42):
@@ -172,9 +279,11 @@ def debug_diagnostics(model, params, graph_np, max_nodes: int = 20000, n_probe: 
     # edge at that position; np.add.at accumulates correctly regardless
     np.add.at(dense, (g.dst[: g.nnz], g.src[: g.nnz]), g.weight[: g.nnz])
 
-    user0 = np.asarray(params["user_embedding"], np.float32)
-    item0 = np.asarray(params["item_embedding"], np.float32)
-    brand0 = np.asarray(params["brand_embedding"], np.float32)
+    # slice off any tensor-parallel pad rows — the diagnostics run against
+    # the *unpadded* bundle graph
+    user0 = np.asarray(params["user_embedding"], np.float32)[: model.num_users]
+    item0 = np.asarray(params["item_embedding"], np.float32)[: model.num_items]
+    brand0 = np.asarray(params["brand_embedding"], np.float32)[: model.num_brands]
     ego = np.concatenate([user0, item0, brand0])
 
     norms = []

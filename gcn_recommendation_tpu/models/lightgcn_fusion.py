@@ -50,6 +50,13 @@ class LightGCN_Fusion(LightGCN):
         # checkpoints (lightgcn_fusion.py:25)
         self._content_np = np.asarray(pretrained_item_emb, dtype=np.float32)
 
+    def _table_pad_spec(self) -> dict:
+        # the frozen content matrix rides the item-table padding too (it
+        # is row-aligned with the item ID table in _initial_block)
+        spec = super()._table_pad_spec()
+        spec["item_content_embedding"] = (self.num_items, self.num_items_pad)
+        return spec
+
     def init(self, key: jax.Array) -> dict:
         ku, ki, kb, kw = jax.random.split(key, 4)
         d = self.embedding_dim
@@ -57,9 +64,18 @@ class LightGCN_Fusion(LightGCN):
         # torch Linear keeps weight as [out, in]; xavier bound is symmetric
         # in (fan_in, fan_out) so the transpose convention is equivalent.
         return {
-            "user_embedding": xavier_uniform(ku, (self.num_users, d), self.param_dtype),
-            "item_embedding": xavier_uniform(ki, (self.num_items, d), self.param_dtype),
-            "brand_embedding": xavier_uniform(kb, (self.num_brands, d), self.param_dtype),
+            "user_embedding": self._pad_rows(
+                xavier_uniform(ku, (self.num_users, d), self.param_dtype),
+                self.num_users_pad,
+            ),
+            "item_embedding": self._pad_rows(
+                xavier_uniform(ki, (self.num_items, d), self.param_dtype),
+                self.num_items_pad,
+            ),
+            "brand_embedding": self._pad_rows(
+                xavier_uniform(kb, (self.num_brands, d), self.param_dtype),
+                self.num_brands_pad,
+            ),
             "fusion_kernel": xavier_uniform(kw, (fan_in, d), self.param_dtype),
             # torch.nn.Linear default bias init is U(-1/sqrt(fan_in), +);
             # the reference leaves the bias at that default (:29,35).
@@ -72,7 +88,9 @@ class LightGCN_Fusion(LightGCN):
             ),
             # frozen content matrix: gradients stopped in _initial_block, so
             # Adam's update is exactly zero and the values never change
-            "item_content_embedding": jnp.asarray(self._content_np),
+            "item_content_embedding": self._pad_rows(
+                jnp.asarray(self._content_np), self.num_items_pad
+            ),
         }
 
     def _initial_block(self, params):

@@ -262,3 +262,14 @@ class HaloTrainer(Trainer):
 
     def _forward_eval(self, params):
         return self._forward(params, self.arrays)
+
+    def validate(self, params):
+        # items-row-sharded distributed top-k over the same model axis the
+        # halo schedule trains on — round-1 VERDICT.md #3: the inherited
+        # single-device validate replicated the full user x catalog top-k
+        # on every chip (reference eval semantics: main.py:404-439)
+        from gcn_recommendation_tpu.parallel.spmd import (
+            validate_with_sharded_topk,
+        )
+
+        return validate_with_sharded_topk(self, params)

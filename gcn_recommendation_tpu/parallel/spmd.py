@@ -45,16 +45,38 @@ from gcn_recommendation_tpu.ops.topk import (
 from gcn_recommendation_tpu.train.trainer import Trainer
 
 
+# Replicating a table this large is almost certainly an error (the
+# embedding tables ARE the model); smaller non-divisible leaves (fusion
+# kernel/bias, Adam count) are legitimately replicated.
+_REPLICATION_WARN_ROWS = 1024
+
+
 def shard_params(params: dict, mesh: Mesh) -> dict:
-    """Row-shard every 2-D table over the model axis; replicate the rest."""
+    """Row-shard every 2-D table over the model axis; replicate the rest.
+
+    Tables are padded to a model-axis multiple by the model
+    (models/lightgcn.py::set_row_multiple — ShardedTrainer arranges this),
+    so every large table divides evenly; a *large* non-divisible leaf
+    means the padding contract was bypassed and replication would silently
+    throw away the TP memory win, so it warns loudly.
+    """
 
     n_model = mesh.shape[MODEL_AXIS]
 
     def place(x):
-        # explicit device_put requires divisibility; non-divisible tables
-        # stay replicated (padded TP layouts are a later optimization)
-        if getattr(x, "ndim", 0) >= 2 and x.shape[0] % n_model == 0 and x.shape[0] > 0:
-            return jax.device_put(x, NamedSharding(mesh, P(MODEL_AXIS)))
+        if getattr(x, "ndim", 0) >= 2 and x.shape[0] > 0:
+            if x.shape[0] % n_model == 0:
+                return jax.device_put(x, NamedSharding(mesh, P(MODEL_AXIS)))
+            if x.shape[0] >= _REPLICATION_WARN_ROWS and n_model > 1:
+                import warnings
+
+                warnings.warn(
+                    f"replicating a large table {tuple(x.shape)} — rows not "
+                    f"divisible by the {n_model}-way model axis; pad via "
+                    "model.set_row_multiple (ShardedTrainer does this "
+                    "automatically)",
+                    stacklevel=3,
+                )
         return jax.device_put(x, NamedSharding(mesh, P()))
 
     return jax.tree.map(place, params)
@@ -101,6 +123,22 @@ class ShardedTrainer(Trainer):
 
     def __init__(self, config, model, bundle, mesh: Mesh, logger=None):
         self.mesh = mesh
+        n_model = mesh.shape[MODEL_AXIS]
+        if n_model > 1 and model.needs_row_padding(n_model):
+            # pad the tables (and, via Trainer._host_graph, the adjacency's
+            # node space) so row-sharding works for arbitrary vocab sizes.
+            # Work on a copy: the caller's model may be shared with an
+            # unpadded single-device trainer.
+            import copy
+
+            model = copy.copy(model)
+            model.set_row_multiple(n_model)
+            print(
+                f"TP padding: tables -> multiples of {n_model} "
+                f"(users {model.num_users}->{model.num_users_pad}, "
+                f"items {model.num_items}->{model.num_items_pad}, "
+                f"brands {model.num_brands}->{model.num_brands_pad})"
+            )
         super().__init__(config, model, bundle, logger=logger)
         repl = NamedSharding(mesh, P())
         self.arrays = self.arrays._replace(
@@ -137,34 +175,40 @@ class ShardedTrainer(Trainer):
         )
 
     def validate(self, params):
-        if self.mesh.shape[MODEL_AXIS] <= 1:
-            return super().validate(params)
-        from gcn_recommendation_tpu.train.evaluate import (
-            apply_cached,
-            build_eval_batches,
-        )
+        return validate_with_sharded_topk(self, params)
 
-        fu, fi, *_ = apply_cached(self.model, params, self.arrays.graph)
-        if self._eval_batches is None:
-            self._eval_batches = build_eval_batches(
-                self.bundle.val,
-                self.bundle.train,
-                self.bundle.num_users,
-                self.bundle.num_items,
-                self.config.eval_user_batch,
-            )
-        return evaluate_sharded(
-            self.mesh,
-            fu,
-            fi,
-            self.bundle.val,
-            self.bundle.train,
-            self.bundle.num_users,
-            self.bundle.num_items,
-            self.config.top_k,
-            self.config.eval_user_batch,
-            batches=self._eval_batches,
+
+def validate_with_sharded_topk(trainer, params):
+    """Distributed validation shared by every model-axis-sharded trainer
+    (GSPMD ShardedTrainer and the halo-exchange HaloTrainer): forward via
+    the trainer's own propagation schedule, then the items-row-sharded
+    local-top-k + all-gather merge evaluator.  Falls back to the
+    single-device evaluator when the model axis is 1 (pure DP)."""
+    from gcn_recommendation_tpu.train.evaluate import build_eval_batches
+
+    if trainer.mesh.shape[MODEL_AXIS] <= 1:
+        return Trainer.validate(trainer, params)
+    fu, fi, *_ = trainer._forward_eval(params)
+    if trainer._eval_batches is None:
+        trainer._eval_batches = build_eval_batches(
+            trainer.bundle.val,
+            trainer.bundle.train,
+            trainer.bundle.num_users,
+            trainer.bundle.num_items,
+            trainer.config.eval_user_batch,
         )
+    return evaluate_sharded(
+        trainer.mesh,
+        fu,
+        fi,
+        trainer.bundle.val,
+        trainer.bundle.train,
+        trainer.bundle.num_users,
+        trainer.bundle.num_items,
+        trainer.config.top_k,
+        trainer.config.eval_user_batch,
+        batches=trainer._eval_batches,
+    )
 
 
 # ---------------------------------------------------------------------------

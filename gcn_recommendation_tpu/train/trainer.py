@@ -106,19 +106,32 @@ class Trainer:
         self._epoch_fn_jit = self._build_epoch_fn()
         self._eval_batches = None  # built lazily, reused across validations
 
+    def _host_graph(self):
+        """Host-side Graph the device layout is built from: the bundle
+        graph, remapped into the padded node space when the model's
+        tables are row-padded for tensor parallelism."""
+        m = self.model
+        pads = (m.num_users_pad, m.num_items_pad, m.num_brands_pad)
+        if pads != (m.num_users, m.num_items, m.num_brands):
+            from gcn_recommendation_tpu.graph.build import pad_graph_nodes
+
+            return pad_graph_nodes(
+                self.bundle.graph, *pads, bucket_row_multiple=m.row_multiple
+            )
+        return self.bundle.graph
+
     def _device_graph(self, cdtype):
         """Device adjacency for ``arrays.graph`` (plain or source-chunked by
         the gather-knee rule; subclasses substitute their own layout)."""
+        g = self._host_graph()
         n_chunks = num_chunks_for(
-            self.bundle.graph.num_nodes, self.config.embedding_dim, cdtype
+            g.num_nodes, self.config.embedding_dim, cdtype
         )
         if self.graph_chunking and n_chunks > 1:
             print(f"Graph: source-chunked gathers ({n_chunks} chunks — "
                   f"embedding block above the gather knee, see PERF.md)")
-            return to_device_chunked_graph(
-                self.bundle.graph, n_chunks, compute_dtype=cdtype
-            )
-        return to_device_graph(self.bundle.graph, compute_dtype=cdtype)
+            return to_device_chunked_graph(g, n_chunks, compute_dtype=cdtype)
+        return to_device_graph(g, compute_dtype=cdtype)
 
     def _forward(self, params, arrays: TrainArrays):
         """Full model forward given the device arrays — the only piece the
@@ -258,9 +271,17 @@ class Trainer:
 
         ckpt_dir = os.path.join(cfg.checkpoint_dir, cfg.checkpoint_name())
         if resume:
-            restored = ckpt.load_latest(ckpt_dir, params, opt_state)
+            # checkpoints store *logical* table shapes (portable across
+            # mesh sizes); unpad the templates, re-pad what comes back
+            restored = ckpt.load_latest(
+                ckpt_dir,
+                self.model.unpad_state_tree(params),
+                self.model.unpad_state_tree(opt_state),
+            )
             if restored is not None:
                 params, opt_state, start_epoch, best_recall, key = restored
+                params = self.model.pad_state_tree(params)
+                opt_state = self.model.pad_state_tree(opt_state)
                 params, opt_state = self._place_state(params, opt_state)
                 start_epoch += 1
                 if self.logger is not None:
@@ -300,12 +321,16 @@ class Trainer:
                 if recall > best_recall:
                     best_recall = recall
                     ckpt.save(
-                        ckpt_dir, "best", params, opt_state, epoch, best_recall, key
+                        ckpt_dir, "best", params, opt_state, epoch, best_recall,
+                        key, transform=self.model.unpad_state_tree,
                     )
                     print("New best model saved...")
                 # rolling 'last' checkpoint (same cadence as validation)
                 # enables crash recovery / resume
-                ckpt.save(ckpt_dir, "last", params, opt_state, epoch, best_recall, key)
+                ckpt.save(
+                    ckpt_dir, "last", params, opt_state, epoch, best_recall,
+                    key, transform=self.model.unpad_state_tree,
+                )
 
         ckpt.wait()  # flush any in-flight async checkpoint write
         if self.logger is not None:

@@ -63,7 +63,16 @@ def _promote_staged() -> None:
         del _staged[final]
 
 
-def save(ckpt_dir: str, tag: str, params, opt_state, epoch: int, best_recall: float, key) -> str:
+def save(
+    ckpt_dir: str,
+    tag: str,
+    params,
+    opt_state,
+    epoch: int,
+    best_recall: float,
+    key,
+    transform=None,
+) -> str:
     """Asynchronous, crash-safe save: the device->host fetch happens HERE,
     on the caller's thread, and only the file write runs in the background.
     (Letting the Orbax background thread touch device arrays races the
@@ -75,6 +84,10 @@ def save(ckpt_dir: str, tag: str, params, opt_state, epoch: int, best_recall: fl
     path = os.path.abspath(os.path.join(ckpt_dir, tag))
     state = _state_dict(params, opt_state, epoch, best_recall, key)
     state = jax.device_get(state)  # synchronous snapshot to host numpy
+    if transform is not None:
+        # e.g. the model's unpad_state_tree: checkpoints store *logical*
+        # table shapes so they restore into any mesh/pad configuration
+        state = transform(state)
     ckptr = _get_async_ckptr()
     ckptr.wait_until_finished()  # previous write is durable now
     _promote_staged()

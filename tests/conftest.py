@@ -21,6 +21,17 @@ import jax
 # platform through the config API before any backend is initialized.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is compile-dominated (scan /
+# shard_map programs on 8 virtual devices), and every large array is a
+# jit *argument* (house rule), so HLO is stable across runs — repeat
+# suite runs skip most of the compile cost.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 import pytest
 

@@ -140,9 +140,6 @@ def test_crash_resume_roundtrip(tmp_path):
     checkpoint, then --resume must continue from the saved epoch (not
     epoch 1) and finish with artifacts intact (SURVEY.md §5 failure
     detection / recovery — absent in the reference)."""
-    import signal
-    import time
-
     data = str(tmp_path / "data")
     r = _run(
         ["prepare", "--recipe", "synthetic", "--num_users", "300",
@@ -162,17 +159,32 @@ def test_crash_resume_roundtrip(tmp_path):
         cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True,
     )
-    # kill -9 as soon as the first rolling checkpoint lands (epoch 5)
+    # kill -9 as soon as the first rolling checkpoint lands (epoch 5).
+    # A real watchdog thread enforces the deadline even if the child hangs
+    # *silently* — `for line in proc.stdout` blocks on a quiet pipe, so an
+    # in-loop time check would never fire (round-1 ADVICE.md finding).
+    import threading
+
     saw_epoch5 = False
-    deadline = time.time() + 300
-    for line in proc.stdout:
-        if "Epoch 5 |" in line:
-            saw_epoch5 = True
-        if saw_epoch5 and "Epoch 7/" in line:
-            proc.kill()  # SIGKILL the exact child PID — never by pattern
-            break
-        assert time.time() < deadline, "training never reached epoch 7"
+    timed_out = []
+
+    def _deadline_kill():
+        timed_out.append(True)
+        proc.kill()  # SIGKILL the exact child PID — never by pattern
+
+    watchdog = threading.Timer(300, _deadline_kill)
+    watchdog.start()
+    try:
+        for line in proc.stdout:
+            if "Epoch 5 |" in line:
+                saw_epoch5 = True
+            if saw_epoch5 and "Epoch 7/" in line:
+                proc.kill()
+                break
+    finally:
+        watchdog.cancel()
     proc.wait(timeout=60)
+    assert not timed_out, "training hung before reaching epoch 7"
     assert saw_epoch5
 
     ckpt_root = os.path.join(out_root, "exp", "checkpoints", "checkpoints")

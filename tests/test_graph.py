@@ -146,3 +146,50 @@ def test_bucket_by_degree_zero_threshold_terminates_and_caps():
     # accumulated weight mass rather than nonzero counts
     mass = sum(float(b.nbr_w.sum()) for b in buckets) + float(dense.sum())
     np.testing.assert_allclose(mass, float(w.sum()), rtol=1e-6)
+
+
+def test_pad_graph_nodes_propagation_unchanged():
+    """pad_graph_nodes remaps node ids into a padded [U_pad|I_pad|B_pad]
+    layout (tensor-parallel table padding); propagation over the padded
+    graph must equal the dense ground truth on logical nodes, pad nodes
+    must stay isolated (zero output), and bucket rows must come out
+    evenly divisible by the requested multiple."""
+    import jax.numpy as jnp
+
+    from gcn_recommendation_tpu.graph.build import pad_graph_nodes
+    from gcn_recommendation_tpu.ops.spmm import propagate, to_device_graph
+    from helpers import dense_from_graph
+
+    rng = np.random.default_rng(9)
+    u, i, bi, bb, nu, ni, nb = _random_graph(rng, nu=49, ni=38, nb=7)
+    g = build_normalized_adjacency(
+        u, i, nu, ni, nb, item_brand_item_idx=bi, item_brand_brand_idx=bb
+    )
+    up, ip, bp = [-(-x // 4) * 4 for x in (nu, ni, nb)]
+    assert (up, ip, bp) != (nu, ni, nb)  # padding must actually happen
+    gp = pad_graph_nodes(g, up, ip, bp, bucket_row_multiple=4)
+    assert gp.num_nodes == up + ip + bp
+    for b in gp.buckets:
+        assert b.nbr_idx.shape[0] % 4 == 0
+    if len(gp.dense_node_ids):
+        assert gp.dense_mat.shape[0] % 4 == 0
+
+    dense = dense_from_graph(g)
+    emb = rng.standard_normal((nu + ni + nb, 8)).astype(np.float32)
+    # scatter logical rows into the padded layout (pad rows zero)
+    emb_pad = np.zeros((gp.num_nodes, 8), np.float32)
+    emb_pad[:nu] = emb[:nu]
+    emb_pad[up : up + ni] = emb[nu : nu + ni]
+    emb_pad[up + ip : up + ip + nb] = emb[nu + ni :]
+
+    out = np.asarray(
+        propagate(jnp.asarray(emb_pad), to_device_graph(gp), gp.num_nodes)
+    )
+    ref = dense @ emb
+    np.testing.assert_allclose(out[:nu], ref[:nu], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(out[up : up + ni], ref[nu : nu + ni], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(out[up + ip : up + ip + nb], ref[nu + ni :], rtol=2e-5, atol=2e-5)
+    # pad nodes are isolated -> propagate to exactly zero
+    np.testing.assert_array_equal(out[nu:up], 0.0)
+    np.testing.assert_array_equal(out[up + ni : up + ip], 0.0)
+    np.testing.assert_array_equal(out[up + ip + nb :], 0.0)

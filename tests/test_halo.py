@@ -35,7 +35,10 @@ def _dense_mean(dense, ego, layers):
     return np.mean(np.stack(outs), axis=0)
 
 
-@pytest.mark.parametrize("mesh_shape", [(1, 4), (2, 4), (1, 8)])
+@pytest.mark.parametrize(
+    "mesh_shape",
+    [pytest.param((1, 4), marks=pytest.mark.slow), (2, 4), (1, 8)],
+)
 def test_halo_propagation_matches_dense(setup, mesh_shape):
     g, dense = setup
     mesh = create_mesh(MeshSpec(*mesh_shape))

@@ -197,12 +197,138 @@ def test_sharded_eval_wide_tiers_match_single_device():
     np.testing.assert_allclose(n_sh, n_ref, rtol=1e-5)
 
 
+@pytest.fixture(scope="module")
+def nondivisible_bundle():
+    """Deliberately non-divisible table sizes on a 4-way model axis
+    (round-1 VERDICT.md #1: real vocab sizes almost never divide the
+    mesh, and silent replication threw away the TP memory win)."""
+    from gcn_recommendation_tpu.data.synthetic import synthetic_bundle
+
+    return synthetic_bundle(
+        num_users=90, num_items=70, num_brands=11, mean_degree=8.0, seed=0
+    )
+
+
+def test_padded_tp_nondivisible_matches_single_device(nondivisible_bundle):
+    bundle = nondivisible_bundle
+    cfg = Config(embedding_dim=16, n_layers=2, epochs=1, batch_size=64)
+    model = get_model("LightGCN")(
+        bundle.num_users, bundle.num_items, bundle.num_brands, cfg
+    )
+    mesh = create_mesh(MeshSpec(data=2, model=4))
+    single = Trainer(cfg, model, bundle)
+    sharded = ShardedTrainer(cfg, model, bundle, mesh)
+
+    # the caller's model object must stay unpadded (shared instances)
+    assert model.num_users_pad == 90
+    assert sharded.model is not model
+    assert sharded.model.num_users_pad == 92
+    assert sharded.model.num_items_pad == 72
+    assert sharded.model.num_brands_pad == 12
+
+    p1, o1 = single.init_state(jax.random.PRNGKey(0))
+    p2, o2 = sharded.init_state(jax.random.PRNGKey(0))
+    # every table row-sharded over 'model' — no silent replication
+    for k in ("user_embedding", "item_embedding", "brand_embedding"):
+        assert p2[k].sharding.spec[0] == "model", k
+    # logical rows RNG-identical to the unpadded init; pad rows zero
+    for k in p1:
+        logical = p1[k].shape[0]
+        np.testing.assert_array_equal(
+            np.asarray(p1[k]), np.asarray(p2[k])[:logical]
+        )
+        np.testing.assert_array_equal(np.asarray(p2[k])[logical:], 0.0)
+
+    p1, o1, l1 = single._epoch_fn(p1, o1, jax.random.PRNGKey(7))
+    p2, o2, l2 = sharded._epoch_fn(p2, o2, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-4, atol=1e-6)
+    for k in p1:
+        logical = p1[k].shape[0]
+        np.testing.assert_allclose(
+            np.asarray(p1[k]), np.asarray(p2[k])[:logical], rtol=1e-4, atol=1e-6
+        )
+        # pad rows receive zero gradient and stay exactly zero under Adam
+        np.testing.assert_array_equal(np.asarray(p2[k])[logical:], 0.0)
+
+    r1, n1 = single.validate(p1)
+    r2, n2 = sharded.validate(p2)
+    np.testing.assert_allclose(r1, r2, rtol=1e-6)
+    np.testing.assert_allclose(n1, n2, rtol=1e-5)
+
+
+def test_padded_tp_checkpoint_is_logical_and_portable(
+    nondivisible_bundle, tmp_path
+):
+    """Checkpoints written by a padded sharded trainer store *logical*
+    table shapes, restore into an unpadded single-device trainer, and
+    resume back into the padded trainer."""
+    from gcn_recommendation_tpu.utils import checkpoint as ckpt
+
+    bundle = nondivisible_bundle
+    cfg = Config(
+        embedding_dim=16, n_layers=2, epochs=2, batch_size=64, val_interval=2,
+        checkpoint_dir=str(tmp_path / "ck"), results_dir=str(tmp_path / "res"),
+    )
+    model = get_model("LightGCN")(
+        bundle.num_users, bundle.num_items, bundle.num_brands, cfg
+    )
+    mesh = create_mesh(MeshSpec(data=2, model=4))
+    sharded = ShardedTrainer(cfg, model, bundle, mesh)
+    _, best = sharded.fit()
+    assert best > 0.0
+
+    single = Trainer(cfg, model, bundle)
+    p, o = single.init_state(jax.random.PRNGKey(0))
+    ckpt_dir = str(tmp_path / "ck" / cfg.checkpoint_name())
+    restored = ckpt.load_best(ckpt_dir, p, o)
+    assert restored is not None
+    assert restored[0]["user_embedding"].shape[0] == bundle.num_users
+    r, _ = single.validate(restored[0])
+    np.testing.assert_allclose(r, best, rtol=1e-6)
+
+    cfg.epochs = 4
+    params2, best2 = sharded.fit(resume=True)
+    assert best2 >= best
+    assert params2["user_embedding"].shape[0] == 92
+    assert params2["user_embedding"].sharding.spec[0] == "model"
+
+
+def test_padded_tp_fusion_trains(nondivisible_bundle):
+    """LightGCN_Fusion under padded TP: the frozen content matrix rides
+    the item-table padding and row-shards too."""
+    bundle = nondivisible_bundle
+    cfg = Config(embedding_dim=16, n_layers=2, epochs=1, batch_size=64)
+    pre = np.random.default_rng(3).standard_normal(
+        (bundle.num_items, 16)
+    ).astype(np.float32)
+    model = get_model("LightGCN_Fusion")(
+        bundle.num_users, bundle.num_items, bundle.num_brands, cfg,
+        pretrained_item_emb=pre,
+    )
+    mesh = create_mesh(MeshSpec(data=2, model=4))
+    tr = ShardedTrainer(cfg, model, bundle, mesh)
+    params, opt = tr.init_state(jax.random.PRNGKey(0))
+    assert params["item_content_embedding"].shape[0] == 72
+    assert params["item_content_embedding"].sharding.spec[0] == "model"
+    _, _, losses = tr._epoch_fn(params, opt, jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_shard_params_warns_on_large_nondivisible_table():
+    from gcn_recommendation_tpu.parallel.spmd import shard_params
+
+    mesh = create_mesh(MeshSpec(data=2, model=4))
+    bad = {"big_table": jnp.zeros((1025, 4), jnp.float32)}
+    with pytest.warns(UserWarning, match="replicating a large table"):
+        shard_params(bad, mesh)
+
+
 def test_sharded_fit_checkpoint_and_resume(tiny_bundle, tmp_path):
     """fit + resume through ShardedTrainer: restored (host numpy) state is
     re-sharded over the mesh by _place_state before training continues."""
     bundle, _ = tiny_bundle
     cfg = Config(
-        embedding_dim=16, n_layers=2, epochs=5, batch_size=128,
+        embedding_dim=16, n_layers=2, epochs=2, batch_size=128, val_interval=2,
         checkpoint_dir=str(tmp_path / "ck"), results_dir=str(tmp_path / "res"),
     )
     model = get_model("LightGCN")(
@@ -212,7 +338,7 @@ def test_sharded_fit_checkpoint_and_resume(tiny_bundle, tmp_path):
     tr = ShardedTrainer(cfg, model, bundle, mesh)
     _, best = tr.fit()
     assert best > 0.0
-    tr.config.epochs = 7
+    tr.config.epochs = 4
     params2, best2 = tr.fit(resume=True)
     assert best2 >= best
     assert params2["user_embedding"].sharding.spec[0] == "model"

@@ -119,7 +119,18 @@ def test_coo_excluded_by_default():
         propagate(jnp.zeros((g.num_nodes, 4)), dg, g.num_nodes, path="coo")
 
 
-def test_chunked_matvec_matches_plain(graph_and_dense):
+@pytest.mark.parametrize(
+    "num_chunks",
+    [
+        3,
+        # other chunk counts are compile-heavy duplicates of the same math
+        # (the dispatch/trainer tests already cover 3 and 4); keep them in
+        # the full (-m "") suite only
+        pytest.param(2, marks=pytest.mark.slow),
+        pytest.param(5, marks=pytest.mark.slow),
+    ],
+)
+def test_chunked_matvec_matches_plain(graph_and_dense, num_chunks):
     """Source-chunked ELL (gather-knee path) must equal the plain ELL and
     the dense reference exactly in math (float-order tolerances only),
     including hub-dense rows and gradients."""
@@ -133,31 +144,30 @@ def test_chunked_matvec_matches_plain(graph_and_dense):
     emb = jnp.asarray(
         np.random.default_rng(7).standard_normal((n, 16)).astype(np.float32)
     )
-    for num_chunks in (2, 3, 5):
-        cdg = to_device_chunked_graph(g, num_chunks)
+    cdg = to_device_chunked_graph(g, num_chunks)
 
-        def run(e):
-            return propagate_chunked(
-                e,
-                cdg.chunk_bucket_idx,
-                cdg.chunk_bucket_w,
-                cdg.chunk_gather_idx,
-                cdg.dense_mat,
-                cdg.dense_gather_idx,
-            )
+    def run(e):
+        return propagate_chunked(
+            e,
+            cdg.chunk_bucket_idx,
+            cdg.chunk_bucket_w,
+            cdg.chunk_gather_idx,
+            cdg.dense_mat,
+            cdg.dense_gather_idx,
+        )
 
-        out = run(emb)
-        np.testing.assert_allclose(
-            np.asarray(out), dense @ np.asarray(emb), rtol=3e-5, atol=3e-5
-        )
-        # gradient: d/de sum(A e * t) = A^T t = A t (symmetric)
-        t = jnp.asarray(
-            np.random.default_rng(8).standard_normal((n, 16)).astype(np.float32)
-        )
-        grad = jax.grad(lambda e: jnp.sum(run(e) * t))(emb)
-        np.testing.assert_allclose(
-            np.asarray(grad), dense.T @ np.asarray(t), rtol=3e-5, atol=3e-5
-        )
+    out = run(emb)
+    np.testing.assert_allclose(
+        np.asarray(out), dense @ np.asarray(emb), rtol=3e-5, atol=3e-5
+    )
+    # gradient: d/de sum(A e * t) = A^T t = A t (symmetric)
+    t = jnp.asarray(
+        np.random.default_rng(8).standard_normal((n, 16)).astype(np.float32)
+    )
+    grad = jax.grad(lambda e: jnp.sum(run(e) * t))(emb)
+    np.testing.assert_allclose(
+        np.asarray(grad), dense.T @ np.asarray(t), rtol=3e-5, atol=3e-5
+    )
 
 
 def test_chunked_propagate_dispatch(graph_and_dense):
