@@ -271,18 +271,23 @@ class Trainer:
 
         ckpt_dir = os.path.join(cfg.checkpoint_dir, cfg.checkpoint_name())
         if resume:
-            # checkpoints store *logical* table shapes (portable across
-            # mesh sizes); unpad the templates, re-pad what comes back
+            # single-process checkpoints store *logical* table shapes
+            # (portable across mesh sizes): unpad the templates, re-pad
+            # what comes back.  Pod-mode checkpoints store the sharded
+            # (padded) state as-is — templates keep their shardings and
+            # Orbax restores each process's shards in place.
+            mp = ckpt.is_multiprocess()
             restored = ckpt.load_latest(
                 ckpt_dir,
-                self.model.unpad_state_tree(params),
-                self.model.unpad_state_tree(opt_state),
+                params if mp else self.model.unpad_state_tree(params),
+                opt_state if mp else self.model.unpad_state_tree(opt_state),
             )
             if restored is not None:
                 params, opt_state, start_epoch, best_recall, key = restored
-                params = self.model.pad_state_tree(params)
-                opt_state = self.model.pad_state_tree(opt_state)
-                params, opt_state = self._place_state(params, opt_state)
+                if not mp:
+                    params = self.model.pad_state_tree(params)
+                    opt_state = self.model.pad_state_tree(opt_state)
+                    params, opt_state = self._place_state(params, opt_state)
                 start_epoch += 1
                 if self.logger is not None:
                     # keep the loss-curve step axis global across resumes

@@ -5,6 +5,15 @@ The reference only saves model weights on best-val-recall
 state and no way to resume training.  Here a checkpoint carries the
 full training state (params, Adam state, epoch, best metric, RNG key),
 written with Orbax under ``<dir>/<tag>`` for tags ``best`` and ``last``.
+
+Multi-process (pod) mode: when ``jax.process_count() > 1`` every
+process passes its global jax.Arrays straight to Orbax, which writes
+only the locally addressable shards and coordinates the commit — no
+host gather (``jax.device_get`` of a non-addressable array raises on a
+real multi-host mesh).  ``save``/``wait``/restore are then collective:
+every process must call them at the same points (the trainer already
+does — fit() runs the identical program on every host).  Staging-dir
+promotion runs on process 0 only, fenced by a cross-process barrier.
 """
 
 from __future__ import annotations
@@ -49,18 +58,56 @@ def _get_async_ckptr() -> ocp.AsyncCheckpointer:
     return _async_ckptr
 
 
-def _promote_staged() -> None:
-    """Swap completed staging dirs over their final paths.
+def _multiprocess() -> bool:
+    try:
+        return jax.process_count() > 1
+    except Exception:
+        return False
 
-    Only called after ``wait_until_finished`` — Orbax itself writes to a
-    tmp dir and renames to the staging path on commit, so a staging dir
-    that *exists* is complete."""
+
+def is_multiprocess() -> bool:
+    """Public probe for callers that must branch on pod mode (the trainer
+    keeps padded/sharded templates for restore there — see save())."""
+    return _multiprocess()
+
+
+def _barrier(name: str) -> None:
+    """Cross-process fence (no-op single-process): promotion renames on
+    process 0 must be visible before any process reads the final path."""
+    if _multiprocess():
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"gcnrec_ckpt_{name}")
+
+
+def _committed(staging: str) -> bool:
+    """True when the staging dir holds a fully committed Orbax write.
+
+    Orbax renames its tmp dir onto the staging path at commit AND writes
+    a commit marker (``_CHECKPOINT_METADATA``) during finalization;
+    checking the marker guards filesystems where the rename is not
+    atomic (NFS/object stores) — 'dir exists' alone could promote a
+    partially-materialized write over a good checkpoint."""
+    try:
+        return bool(ocp.utils.is_checkpoint_finalized(staging))
+    except Exception:  # e.g. path vanished between exists() and the check
+        return False
+
+
+def _promote_staged() -> None:
+    """Swap committed staging dirs over their final paths.
+
+    Only called after ``wait_until_finished``; commit is verified via the
+    Orbax marker (see _committed).  In multi-process mode the rename runs
+    on process 0 only and all processes fence on a barrier."""
     for final, staging in list(_staged.items()):
-        if os.path.exists(staging):
-            if os.path.exists(final):
-                shutil.rmtree(final)
-            os.replace(staging, final)
+        if os.path.exists(staging) and _committed(staging):
+            if jax.process_index() == 0:
+                if os.path.exists(final):
+                    shutil.rmtree(final)
+                os.replace(staging, final)
         del _staged[final]
+    _barrier("promote")
 
 
 def save(
@@ -83,11 +130,21 @@ def save(
     files, e.g. at process exit."""
     path = os.path.abspath(os.path.join(ckpt_dir, tag))
     state = _state_dict(params, opt_state, epoch, best_recall, key)
-    state = jax.device_get(state)  # synchronous snapshot to host numpy
-    if transform is not None:
-        # e.g. the model's unpad_state_tree: checkpoints store *logical*
-        # table shapes so they restore into any mesh/pad configuration
-        state = transform(state)
+    if _multiprocess():
+        # pod mode: hand Orbax the global jax.Arrays — each process
+        # writes its addressable shards only (a host gather of the full
+        # state would raise: other hosts' shards are non-addressable).
+        # The sharded/padded layout is saved as-is; `transform` (logical
+        # unpadding) is a host-side reshape and is skipped — restore
+        # templates must come from the same trainer configuration.
+        pass
+    else:
+        state = jax.device_get(state)  # synchronous snapshot to host numpy
+        if transform is not None:
+            # e.g. the model's unpad_state_tree: checkpoints store
+            # *logical* table shapes so they restore into any mesh/pad
+            # configuration
+            state = transform(state)
     ckptr = _get_async_ckptr()
     ckptr.wait_until_finished()  # previous write is durable now
     _promote_staged()
@@ -110,13 +167,15 @@ def wait() -> None:
 def _restore(path: str, params_template, opt_state_template) -> Optional[Tuple]:
     wait()  # a concurrent async write may still be materializing files
     staging = path + _STAGING_SUFFIX
-    if os.path.exists(staging):
+    if os.path.exists(staging) and _committed(staging):
         # a previous process crashed after its write committed but before
-        # the swap — the staging dir is complete (Orbax renames on commit)
-        # and strictly newer than the final dir, so promote it now
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.replace(staging, path)
+        # the swap — the commit marker proves the staging dir is complete
+        # and it is strictly newer than the final dir, so promote it now
+        if jax.process_index() == 0:
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.replace(staging, path)
+    _barrier("restore_promote")
     if not os.path.exists(path):
         return None
     dummy_key = jax.random.PRNGKey(0)

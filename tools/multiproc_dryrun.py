@@ -99,6 +99,57 @@ def worker(nprocs: int, pid: int) -> None:
     for shard in fu.addressable_shards:
         assert np.isfinite(np.asarray(shard.data)).all()
 
+    # --- multi-host checkpoint -> kill -> resume (pod-mode Orbax path) ---
+    # Phase 1 trains 2 epochs and exits right after the collective sharded
+    # checkpoint write (the 'kill' — the process is gone before training
+    # finishes its nominal schedule).  Phase 2 relaunches the workers,
+    # resumes from the 'last' checkpoint, and checks the resumed run's
+    # final params match an uninterrupted 4-epoch run exactly (the RNG key
+    # stream is checkpointed, so epochs 3-4 replay identically).
+    ckroot = os.environ.get("GCNREC_MP_CKPT")
+    phase = os.environ.get("GCNREC_MP_PHASE", "1")
+    if ckroot:
+        from gcn_recommendation_tpu.parallel.spmd import ShardedTrainer
+
+        def make_trainer(ck_sub, epochs):
+            c = Config(
+                embedding_dim=16, n_layers=2, batch_size=64, epochs=epochs,
+                val_interval=2,
+                checkpoint_dir=os.path.join(ckroot, ck_sub),
+                results_dir=os.path.join(ckroot, ck_sub + "_res"),
+            )
+            # non-divisible brands on the 2-way model axis -> the padded-TP
+            # layout is exercised under real multi-process sharding too
+            b = synthetic_bundle(
+                num_users=90, num_items=70, num_brands=11, mean_degree=8.0,
+                seed=1,
+            )
+            m = get_model("LightGCN")(
+                b.num_users, b.num_items, b.num_brands, c
+            )
+            return ShardedTrainer(c, m, b, mesh)
+
+        if phase == "1":
+            tr = make_trainer("ck", epochs=2)
+            _, best = tr.fit()  # checkpoints (sharded, collective) at epoch 2
+            assert best > 0.0
+            if pid == 0:
+                print("multiproc_dryrun: phase 1 — sharded checkpoint written")
+        else:
+            tr = make_trainer("ck", epochs=4)
+            params_resumed, _ = tr.fit(resume=True)
+            tr_full = make_trainer("ck_full", epochs=4)
+            params_full, _ = tr_full.fit()
+            for k in params_resumed:
+                a = np.asarray(params_resumed[k].addressable_shards[0].data)
+                b = np.asarray(params_full[k].addressable_shards[0].data)
+                np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+            if pid == 0:
+                print(
+                    "multiproc_dryrun: phase 2 — resumed across processes; "
+                    "params match the uninterrupted run"
+                )
+
     if pid == 0:
         print(
             f"multiproc_dryrun: {nprocs} processes x {LOCAL_DEVICES} devices — "
@@ -123,18 +174,33 @@ def main() -> int:
         inherited + [f"--xla_force_host_platform_device_count={LOCAL_DEVICES}"]
     )
     env["JAX_PLATFORMS"] = "cpu"
-    procs = [
-        subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), str(nprocs), "--worker", str(i)],
-            env=env,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        )
-        for i in range(nprocs)
-    ]
-    rc = [p.wait(timeout=600) for p in procs]
-    if any(rc):
-        print(f"multiproc_dryrun FAILED: exit codes {rc}")
-        return 1
+
+    import tempfile
+
+    ckroot = tempfile.mkdtemp(prefix="gcnrec_mp_ck_")
+    env["GCNREC_MP_CKPT"] = ckroot
+
+    def launch(phase):
+        env["GCNREC_MP_PHASE"] = phase
+        procs = [
+            subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), str(nprocs),
+                 "--worker", str(i)],
+                env=env,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            )
+            for i in range(nprocs)
+        ]
+        return [p.wait(timeout=600) for p in procs]
+
+    # phase 1: train + sharded checkpoint, then the processes exit (the
+    # 'kill'); phase 2: fresh processes resume and verify against an
+    # uninterrupted run
+    for phase in ("1", "2"):
+        rc = launch(phase)
+        if any(rc):
+            print(f"multiproc_dryrun FAILED (phase {phase}): exit codes {rc}")
+            return 1
     print("multiproc_dryrun PASSED")
     return 0
 
