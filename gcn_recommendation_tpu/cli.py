@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--epochs", type=int, default=150, help="Number of training epochs.")
     tr.add_argument("--brand_loss", action="store_true",
                     help="Enable author/brand preference loss.")
+    tr.add_argument("--fusion_id_init", action="store_true",
+                    help="LightGCN_Fusion: also initialize the trainable item "
+                         "ID table from the pretrained matrix (the 'fusemb' "
+                         "experiment variant; reference lightgcn_fusion.py:21).")
     tr.add_argument("--resume", action="store_true",
                     help="Resume from the rolling 'last' checkpoint.")
     tr.add_argument("--batch_size", type=int, default=None)
@@ -151,6 +155,7 @@ def _make_config(args):
     if args.mode == "train":
         kwargs["epochs"] = args.epochs
         kwargs["brand_loss"] = args.brand_loss
+        kwargs["fusion_id_init"] = getattr(args, "fusion_id_init", False)
         if args.batch_size is not None:
             kwargs["batch_size"] = args.batch_size
         if args.learning_rate is not None:

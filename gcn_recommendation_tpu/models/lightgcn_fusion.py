@@ -44,6 +44,15 @@ class LightGCN_Fusion(LightGCN):
         # init — Fusion keeps a random ID table (lightgcn_fusion.py:21).
         super().__init__(num_users, num_items, num_brands, config, None)
         self.content_dim = int(pretrained_item_emb.shape[1])
+        # `fusemb` grid variant: ID table initialized from the pretrained
+        # matrix, trainable (the commented-out from_pretrained alternative
+        # at reference lightgcn_fusion.py:21)
+        self.fusion_id_init = bool(getattr(config, "fusion_id_init", False))
+        if self.fusion_id_init and self.content_dim != self.embedding_dim:
+            raise ValueError(
+                f"fusion_id_init needs pretrained dim ({self.content_dim}) "
+                f"== embedding dim ({self.embedding_dim})"
+            )
         # kept on host; becomes a FROZEN params entry at init() so it flows
         # through jit as an argument, never a closure constant (PERF.md) —
         # like the reference's registered buffer it also lands in
@@ -69,7 +78,9 @@ class LightGCN_Fusion(LightGCN):
                 self.num_users_pad,
             ),
             "item_embedding": self._pad_rows(
-                xavier_uniform(ki, (self.num_items, d), self.param_dtype),
+                jnp.asarray(self._content_np, dtype=self.param_dtype)
+                if self.fusion_id_init
+                else xavier_uniform(ki, (self.num_items, d), self.param_dtype),
                 self.num_items_pad,
             ),
             "brand_embedding": self._pad_rows(

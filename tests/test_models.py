@@ -146,3 +146,33 @@ def test_lightgcn_bf16_compute_mode(small_setup):
     for leaf in jax.tree_util.tree_leaves(grads):
         assert bool(jnp.isfinite(leaf).all())
         assert leaf.dtype == jnp.float32  # param grads stay f32 for Adam
+
+
+def test_fusion_id_init_variant(small_setup):
+    """`fusemb` grid variant: the trainable item ID table is initialized
+    from the pretrained matrix (the commented-out from_pretrained
+    alternative at reference lightgcn_fusion.py:21) while the frozen
+    content buffer stays; requires matching dims."""
+    g, dense, cfg, (nu, ni, nb) = small_setup
+    import dataclasses
+
+    pre = np.random.default_rng(5).standard_normal(
+        (ni, cfg.embedding_dim)
+    ).astype(np.float32)
+    cfg_id = dataclasses.replace(cfg, fusion_id_init=True)
+    model = get_model("LightGCN_Fusion")(nu, ni, nb, cfg_id, pretrained_item_emb=pre)
+    params = model.init(jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(params["item_embedding"]), pre)
+    np.testing.assert_array_equal(np.asarray(params["item_content_embedding"]), pre)
+
+    # plain fus: ID table random, NOT the pretrained matrix
+    model2 = get_model("LightGCN_Fusion")(nu, ni, nb, cfg, pretrained_item_emb=pre)
+    params2 = model2.init(jax.random.PRNGKey(0))
+    assert np.abs(np.asarray(params2["item_embedding"]) - pre).max() > 1e-3
+
+    # dim mismatch raises
+    bad = np.zeros((ni, cfg.embedding_dim + 3), np.float32)
+    import pytest
+
+    with pytest.raises(ValueError, match="fusion_id_init"):
+        get_model("LightGCN_Fusion")(nu, ni, nb, cfg_id, pretrained_item_emb=bad)

@@ -24,22 +24,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-# (suffix, model_name, use_brand, brand_loss, use_pretrained_emb)
+# (suffix, model_name, use_brand, brand_loss, use_pretrained_emb, fusion_id_init)
 GRID = [
-    ("brd", "LightGCN", True, False, False),
-    ("nob", "LightGCN", False, False, False),
-    ("brd_emb", "LightGCN", True, False, True),
-    ("nob_emb", "LightGCN", False, False, True),
-    ("brd_fus", "LightGCN_Fusion", True, False, True),
-    ("nob_fus", "LightGCN_Fusion", False, False, True),
+    ("brd", "LightGCN", True, False, False, False),
+    ("nob", "LightGCN", False, False, False, False),
+    ("brd_emb", "LightGCN", True, False, True, False),
+    ("nob_emb", "LightGCN", False, False, True, False),
+    ("brd_fus", "LightGCN_Fusion", True, False, True, False),
+    ("nob_fus", "LightGCN_Fusion", False, False, True, False),
+    # Fusion + pretrained item-ID init (trainable) — the reference's
+    # exp_books/results/base_150e20c_nob_fusemb run, produced by the
+    # commented-out from_pretrained alternative at lightgcn_fusion.py:21
+    ("nob_fusemb", "LightGCN_Fusion", False, False, True, True),
 ]
 LOSS_GRID = [
-    ("brd", "LightGCN", True, True, False),
-    ("nob", "LightGCN", False, True, False),
+    ("brd", "LightGCN", True, True, False, False),
+    ("nob", "LightGCN", False, True, False, False),
+    # brand-loss + pretrained-emb-init runs (reference
+    # exp_books/results/loss_150e20c_{brd,nob}_emb)
+    ("brd_emb", "LightGCN", True, True, True, False),
+    ("nob_emb", "LightGCN", False, True, True, False),
 ]
 
 
-def run_variant(args, tag, suffix, model_name, use_brand, brand_loss, use_pretrained):
+def run_variant(args, tag, suffix, model_name, use_brand, brand_loss,
+                use_pretrained, fusion_id_init=False):
     from gcn_recommendation_tpu.config import Config
     from gcn_recommendation_tpu.data.loader import load_preprocessed_data
     from gcn_recommendation_tpu.models import get_model
@@ -57,6 +66,7 @@ def run_variant(args, tag, suffix, model_name, use_brand, brand_loss, use_pretra
         use_brand=use_brand,
         brand_loss=brand_loss,
         use_pretrained_emb=use_pretrained,
+        fusion_id_init=fusion_id_init,
         checkpoint_dir=ckpt_dir,
         results_dir=results_dir,
         batch_size=args.batch_size,
@@ -113,10 +123,11 @@ def main():
     if args.with_lase:
         grids.append(("lase", GRID))
     for tag, grid in grids:
-        for suffix, model, brand, bloss, pre in grid:
+        for suffix, model, brand, bloss, pre, id_init in grid:
             if args.only and suffix not in args.only.split(","):
                 continue
-            out = run_variant(args, tag, suffix, model, brand, bloss, pre)
+            out = run_variant(args, tag, suffix, model, brand, bloss, pre,
+                              fusion_id_init=id_init)
             if out:
                 results.append(out)
 
