@@ -200,6 +200,46 @@ RECIPES = _mk_recipes()
 # Pipeline
 # ---------------------------------------------------------------------------
 
+def _iter_jsonl(path: str, label: str):
+    """Stream records from a .jsonl file, tolerating real-dump dirt.
+
+    Raw Amazon/Steam dumps contain occasional truncated/garbage lines and
+    non-object rows; the reference scripts would die on the first one
+    (bare ``json.loads`` per line).  Malformed and non-dict lines are
+    skipped and counted; a summary prints at the end so silent data loss
+    is visible.
+    """
+    bad = nondict = 0
+    with open(path, encoding="utf-8", errors="replace") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = json.loads(line)
+            except (json.JSONDecodeError, ValueError):
+                bad += 1
+                continue
+            if not isinstance(rec, dict):
+                nondict += 1
+                continue
+            yield rec
+    if bad or nondict:
+        print(
+            f"WARNING: {label}: skipped {bad} malformed and {nondict} "
+            f"non-object lines in {os.path.basename(path)}"
+        )
+
+
+def _safe_parse(parse, rec):
+    """Apply a recipe parser, dropping records whose field *types* are
+    garbage (e.g. rating='five', tags as a list) instead of crashing."""
+    try:
+        return parse(rec)
+    except (TypeError, ValueError, AttributeError, KeyError):
+        return None
+
+
 def prepare_and_save_data(
     recipe: Recipe,
     review_path: str,
@@ -214,14 +254,15 @@ def prepare_and_save_data(
 
     # 1. reviews
     rows = []
-    with open(review_path) as f:
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            parsed = recipe.parse_review(json.loads(line))
-            if parsed is not None:
-                rows.append(parsed)
+    dropped = 0
+    for rec in _iter_jsonl(review_path, "reviews"):
+        parsed = _safe_parse(recipe.parse_review, rec)
+        if parsed is not None:
+            rows.append(parsed)
+        else:
+            dropped += 1
+    if dropped:
+        print(f"Dropped {dropped} review records (filtered or unusable fields).")
     if not rows:
         print("Error: no usable reviews found.")
         return ""
@@ -245,20 +286,20 @@ def prepare_and_save_data(
     active = set(df["item_id"].unique())
     meta_brands: Dict[str, List[str]] = {}
     meta_embeddings: Dict[str, list] = {}
-    with open(meta_path) as f:
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            parsed = recipe.parse_meta(json.loads(line))
-            if parsed is None:
-                continue
-            item_id, brands, embd = parsed
-            if item_id not in active:
-                continue
-            meta_brands[item_id] = brands
-            if embd:
-                meta_embeddings[item_id] = embd
+    for rec in _iter_jsonl(meta_path, "metadata"):
+        parsed = _safe_parse(recipe.parse_meta, rec)
+        if parsed is None:
+            continue
+        item_id, brands, embd = parsed
+        if item_id not in active:
+            continue
+        # brand labels must be hashable strings — real category lists
+        # occasionally contain None / numbers / nested lists
+        meta_brands[item_id] = [
+            b if isinstance(b, str) else str(b) for b in brands
+        ]
+        if embd:
+            meta_embeddings[item_id] = embd
     print(f"Extracted brand/category metadata for {len(meta_brands)} items.")
 
     # 4. dense ID maps (first-appearance order, like the reference's
@@ -326,10 +367,23 @@ def prepare_and_save_data(
     if meta_embeddings:
         embd_dim = len(next(iter(meta_embeddings.values())))
         mat = np.zeros((len(item_map), embd_dim), dtype=np.float32)
+        bad_embd = 0
         for item_id, e in meta_embeddings.items():
             idx = item_map.get(item_id)
-            if idx is not None and idx < len(item_map):
-                mat[idx] = e
+            if idx is None or idx >= len(item_map):
+                continue
+            try:
+                v = np.asarray(e, dtype=np.float32)
+            except (TypeError, ValueError):
+                bad_embd += 1
+                continue
+            if v.shape != (embd_dim,) or not np.isfinite(v).all():
+                bad_embd += 1  # wrong length / nested / NaN vectors
+                continue
+            mat[idx] = v
+        if bad_embd:
+            print(f"WARNING: skipped {bad_embd} unusable 'embd' vectors "
+                  f"(wrong length / non-numeric / non-finite); rows stay zero.")
         np.save(os.path.join(out_dir, "item_embeddings.npy"), mat)
         print("Item embeddings saved to 'item_embeddings.npy'.")
     with open(os.path.join(out_dir, "stats.json"), "w") as f:

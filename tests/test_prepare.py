@@ -136,3 +136,61 @@ def test_loader_rejects_missing_stats(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         load_preprocessed_data(str(tmp_path))
+
+
+def test_dirty_real_dump_lines_survive(tmp_path):
+    """Real Amazon/Steam dumps contain truncated JSON, non-object rows,
+    garbage field types, and broken 'embd' vectors; the pipeline must
+    skip-and-count them instead of dying (round-1 VERDICT.md missing #5:
+    the reference scripts crash on the first bad line)."""
+    rp, mp = tmp_path / "r.jsonl", tmp_path / "m.jsonl"
+    with open(rp, "w") as f:
+        # clean interactions: 3 users x 3 items (survives 2-core)
+        for u in range(3):
+            for i in range(3):
+                f.write(json.dumps({
+                    "user_id": f"u{u}", "item_id": f"i{i}",
+                    "sentiment": "positive", "rating": 4.0,
+                }) + "\n")
+        f.write('{"user_id": "u0", "item_id": "i0", "sentiment": "positive", "rat')  # truncated
+        f.write("\n")
+        f.write('"just a string"\n')       # non-object JSON
+        f.write("42\n")                    # non-object JSON
+        f.write("\n")                      # blank
+        f.write(json.dumps({               # rating of a garbage type
+            "user_id": "u1", "item_id": "i1", "sentiment": "positive",
+            "rating": "five-ish",
+        }) + "\n")
+        f.write(json.dumps({               # missing keys
+            "sentiment": "positive", "rating": 3.0,
+        }) + "\n")
+    with open(mp, "w") as f:
+        f.write(json.dumps({
+            "item_id": "i0", "categories": ["Root", "CatA", "CatB"],
+            "embd": [1.0, 2.0],
+        }) + "\n")
+        f.write(json.dumps({               # non-string category labels
+            "item_id": "i1", "categories": ["Root", None, 7],
+            "embd": [3.0],                 # wrong length -> skipped
+        }) + "\n")
+        f.write(json.dumps({               # categories of a garbage type
+            "item_id": "i2", "categories": "not-a-list",
+            "embd": ["a", "b"],            # non-numeric -> skipped
+        }) + "\n")
+        f.write('{"item_id": "i2", "categor\n')  # truncated
+
+    out = prepare_and_save_data(
+        RECIPES["amazon_books_emb"], str(rp), str(mp), str(tmp_path / "o"),
+        core=2,
+    )
+    stats = json.load(open(os.path.join(out, "stats.json")))
+    assert stats["num_users"] == 3 and stats["num_items"] == 3
+    # brand labels coerced to strings ("None", "7")
+    ib = pd.read_parquet(os.path.join(out, "item_brand.parquet"))
+    assert len(ib) > 0
+    emb = np.load(os.path.join(out, "item_embeddings.npy"))
+    assert emb.shape == (3, 2)
+    # exactly one usable vector (i0); the wrong-length and non-numeric
+    # ones stay zero
+    nonzero_rows = (np.abs(emb).sum(axis=1) > 0).sum()
+    assert nonzero_rows == 1

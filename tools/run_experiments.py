@@ -114,6 +114,9 @@ def main():
                          "SURVEY.md section 2.1 #19)")
     ap.add_argument("--only", type=str, default=None,
                     help="comma-separated suffixes to run (e.g. brd,nob_fus)")
+    ap.add_argument("--grids", type=str, default=None,
+                    help="comma-separated grid tags to run (base,loss,lase); "
+                         "default: base (+loss/lase per the flags above)")
     args = ap.parse_args()
 
     results = []
@@ -122,6 +125,10 @@ def main():
         grids.append(("loss", LOSS_GRID))
     if args.with_lase:
         grids.append(("lase", GRID))
+    if args.grids:
+        wanted = args.grids.split(",")
+        all_grids = {"base": GRID, "loss": LOSS_GRID, "lase": GRID}
+        grids = [(t, all_grids[t]) for t in wanted]
     for tag, grid in grids:
         for suffix, model, brand, bloss, pre, id_init in grid:
             if args.only and suffix not in args.only.split(","):
