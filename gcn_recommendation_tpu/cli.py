@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Propagation storage dtype; bfloat16 halves the "
                              "propagated block's HBM footprint (f32 accumulate, "
                              "see PERF.md for measured accuracy impact).")
+        sp.add_argument("--profile_dir", type=str, default=None,
+                        help="Write jax.profiler traces (one per epoch) under "
+                             "this dir for TensorBoard/xprof; equivalent to "
+                             "setting GCN_TPU_TRACE_DIR.")
 
     tr = sub.add_parser("train", help="Train a model.")
     add_common(tr)
@@ -132,6 +136,9 @@ def _make_config(args):
         import jax
 
         jax.config.update("jax_debug_nans", True)
+    if getattr(args, "profile_dir", None):
+        # utils/profiling.trace picks this up around every epoch scan
+        os.environ["GCN_TPU_TRACE_DIR"] = args.profile_dir
     kwargs = dict(
         model_name=args.model_name,
         dataset=args.dataset,
