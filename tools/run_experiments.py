@@ -70,6 +70,7 @@ def run_variant(args, tag, suffix, model_name, use_brand, brand_loss,
         checkpoint_dir=ckpt_dir,
         results_dir=results_dir,
         batch_size=args.batch_size,
+        seed=args.seed,
     )
     pretrained = None
     needs_emb = use_pretrained or model_name == "LightGCN_Fusion"
@@ -114,6 +115,10 @@ def main():
                          "SURVEY.md section 2.1 #19)")
     ap.add_argument("--only", type=str, default=None,
                     help="comma-separated suffixes to run (e.g. brd,nob_fus)")
+    ap.add_argument("--seed", type=int, default=42,
+                    help="RNG seed (the reference's duplicate lase_* runs "
+                         "differ from base_* by run-to-run variance, so give "
+                         "them a different seed, e.g. 43)")
     ap.add_argument("--grids", type=str, default=None,
                     help="comma-separated grid tags to run (base,loss,lase); "
                          "default: base (+loss/lase per the flags above)")
