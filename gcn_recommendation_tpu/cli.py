@@ -60,6 +60,20 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Write jax.profiler traces (one per epoch) under "
                              "this dir for TensorBoard/xprof; equivalent to "
                              "setting GCN_TPU_TRACE_DIR.")
+        sp.add_argument("--mesh", type=str, default=None,
+                        help="DATA,MODEL device-mesh shape for sharded "
+                             "execution (e.g. '2,4' = batch/eval users over "
+                             "2-way data parallel, tables+catalog row-sharded "
+                             "4-way). Default: single device.")
+        sp.add_argument("--schedule", type=str, default="auto",
+                        choices=["auto", "gspmd", "halo"],
+                        help="Sharded propagation schedule: 'halo' (explicit "
+                             "per-layer all-gather shard_map — parallel/halo.py, "
+                             "~40x fewer collectives, the measured pod "
+                             "recommendation in docs/SCALING.md) or 'gspmd' (XLA "
+                             "places collectives). 'auto' (default) picks halo "
+                             "whenever the model axis is sharded, gspmd for "
+                             "pure data parallelism.")
 
     tr = sub.add_parser("train", help="Train a model.")
     add_common(tr)
@@ -76,16 +90,6 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--learning_rate", type=float, default=None)
     tr.add_argument("--val_interval", type=int, default=None,
                     help="Validate every N epochs (default 5, main.py:66).")
-    tr.add_argument("--mesh", type=str, default=None,
-                    help="DATA,MODEL device-mesh shape for sharded training "
-                         "(e.g. '2,4' = batch over 2-way data parallel, "
-                         "tables row-sharded 4-way). Default: single device.")
-    tr.add_argument("--schedule", type=str, default="gspmd",
-                    choices=["gspmd", "halo"],
-                    help="Sharded propagation schedule: 'gspmd' (XLA places "
-                         "collectives) or 'halo' (explicit per-layer "
-                         "all-gather shard_map — parallel/halo.py).")
-
     te = sub.add_parser("test", help="Evaluate a trained checkpoint on the test split.")
     add_common(te)
     te.add_argument("--model_path", type=str, default=None,
@@ -205,13 +209,11 @@ def _load_everything(config):
     return bundle, model
 
 
-def _make_trainer(config, model, bundle, logger, args):
-    """Single-device Trainer, or a sharded one when --mesh is given."""
-    from gcn_recommendation_tpu.train.trainer import Trainer
-
+def _build_mesh(args):
+    """('data','model') Mesh from --mesh, or None for single device."""
     mesh_arg = getattr(args, "mesh", None)
     if not mesh_arg:
-        return Trainer(config, model, bundle, logger=logger)
+        return None
 
     import jax
 
@@ -229,10 +231,32 @@ def _make_trainer(config, model, bundle, logger, args):
             f"--mesh {data}x{model_par} needs {data * model_par} devices, "
             f"have {n}"
         )
-    mesh = create_mesh(MeshSpec(data=data, model=model_par))
-    print(f"Sharded training: mesh {dict(mesh.shape)}, "
-          f"schedule={args.schedule}")
-    if args.schedule == "halo":
+    return create_mesh(MeshSpec(data=data, model=model_par))
+
+
+def _pick_schedule(args, mesh):
+    schedule = getattr(args, "schedule", "auto") or "auto"
+    if schedule == "auto":
+        # docs/SCALING.md: the halo schedule's static collective count is
+        # ~40x lower than GSPMD's on the model axis; gspmd stays the pure-DP
+        # path (model=1 has no halo to exchange)
+        from gcn_recommendation_tpu.core.mesh import MODEL_AXIS
+
+        schedule = "halo" if mesh.shape[MODEL_AXIS] > 1 else "gspmd"
+    return schedule
+
+
+def _make_trainer(config, model, bundle, logger, args):
+    """Single-device Trainer, or a sharded one when --mesh is given."""
+    from gcn_recommendation_tpu.train.trainer import Trainer
+
+    mesh = _build_mesh(args)
+    if mesh is None:
+        return Trainer(config, model, bundle, logger=logger)
+    schedule = _pick_schedule(args, mesh)
+    print(f"Sharded execution: mesh {dict(mesh.shape)}, "
+          f"schedule={schedule}")
+    if schedule == "halo":
         from gcn_recommendation_tpu.parallel.halo import HaloTrainer
 
         return HaloTrainer(config, model, bundle, mesh, logger=logger)
@@ -294,21 +318,38 @@ def run_test(args) -> int:
         np.concatenate([bundle.train.user_idx, bundle.val.user_idx]),
         np.concatenate([bundle.train.item_idx, bundle.val.item_idx]),
     )
-    recall, ndcg = evaluate(
-        model,
-        params,
-        to_device_graph_auto(
-            bundle.graph,
-            compute_dtype=jnp.dtype(config.compute_dtype),
-            embedding_dim=config.embedding_dim,
-        ),
-        bundle.test,
-        filt,
-        bundle.num_users,
-        bundle.num_items,
-        config.top_k,
-        config.eval_user_batch,
-    )
+    mesh = _build_mesh(args)
+    if mesh is not None:
+        # sharded test-time eval (round-2 VERDICT #5): forward through the
+        # schedule's sharded propagation, items row-sharded over 'model',
+        # eval users split over 'data' (parallel/spmd.py)
+        from gcn_recommendation_tpu.parallel.spmd import evaluate_sharded
+
+        trainer = _make_trainer(config, model, bundle, None, args)
+        sp = trainer.model.pad_state_tree(params)
+        sp, _ = trainer._place_state(sp, ())
+        fu, fi, *_ = trainer._forward_eval(sp)
+        recall, ndcg = evaluate_sharded(
+            mesh, fu, fi, bundle.test, filt,
+            bundle.num_users, bundle.num_items,
+            config.top_k, config.eval_user_batch,
+        )
+    else:
+        recall, ndcg = evaluate(
+            model,
+            params,
+            to_device_graph_auto(
+                bundle.graph,
+                compute_dtype=jnp.dtype(config.compute_dtype),
+                embedding_dim=config.embedding_dim,
+            ),
+            bundle.test,
+            filt,
+            bundle.num_users,
+            bundle.num_items,
+            config.top_k,
+            config.eval_user_batch,
+        )
     print("\n--- Final Test Results ---")
     print(f"Recall@{config.top_k}: {recall:.4f}")
     print(f"NDCG@{config.top_k}:   {ndcg:.4f}")
@@ -342,7 +383,13 @@ def run_recommend(args) -> int:
         ).astype(np.int32)
 
     params = _restore_best_params(config, args, model)
-    retriever = Retriever.from_params(model, params, bundle, quantize=args.int8)
+    mesh = _build_mesh(args)
+    if mesh is not None and args.int8:
+        raise ValueError("--int8 and --mesh are mutually exclusive "
+                         "(the int8 score kernel is single-device)")
+    retriever = Retriever.from_params(
+        model, params, bundle, quantize=args.int8, mesh=mesh
+    )
     scores, items = retriever.recommend(
         users, k=k, filter_seen=not args.include_seen
     )

@@ -365,27 +365,45 @@ def prepare_and_save_data(
         os.path.join(out_dir, "item_brand.parquet"), index=False
     )
     if meta_embeddings:
-        embd_dim = len(next(iter(meta_embeddings.values())))
-        mat = np.zeros((len(item_map), embd_dim), dtype=np.float32)
-        bad_embd = 0
-        for item_id, e in meta_embeddings.items():
-            idx = item_map.get(item_id)
-            if idx is None or idx >= len(item_map):
-                continue
+        # embd_dim = the MODAL length over all parseable finite vectors —
+        # never the first record's, which on a dirty dump can be a scalar
+        # (len() crash) or a truncated list (silently rejecting every
+        # valid vector and saving a wrong-dim near-zero matrix).
+        from collections import Counter
+
+        length_counts: Counter = Counter()
+        for e in meta_embeddings.values():
             try:
                 v = np.asarray(e, dtype=np.float32)
             except (TypeError, ValueError):
-                bad_embd += 1
                 continue
-            if v.shape != (embd_dim,) or not np.isfinite(v).all():
-                bad_embd += 1  # wrong length / nested / NaN vectors
-                continue
-            mat[idx] = v
-        if bad_embd:
-            print(f"WARNING: skipped {bad_embd} unusable 'embd' vectors "
-                  f"(wrong length / non-numeric / non-finite); rows stay zero.")
-        np.save(os.path.join(out_dir, "item_embeddings.npy"), mat)
-        print("Item embeddings saved to 'item_embeddings.npy'.")
+            if v.ndim == 1 and v.shape[0] > 0 and np.isfinite(v).all():
+                length_counts[int(v.shape[0])] += 1
+        if not length_counts:
+            print("WARNING: no usable 'embd' vectors in the metadata dump; "
+                  "skipping item_embeddings.npy.")
+        else:
+            embd_dim = length_counts.most_common(1)[0][0]
+            mat = np.zeros((len(item_map), embd_dim), dtype=np.float32)
+            bad_embd = 0
+            for item_id, e in meta_embeddings.items():
+                idx = item_map.get(item_id)
+                if idx is None or idx >= len(item_map):
+                    continue
+                try:
+                    v = np.asarray(e, dtype=np.float32)
+                except (TypeError, ValueError):
+                    bad_embd += 1
+                    continue
+                if v.shape != (embd_dim,) or not np.isfinite(v).all():
+                    bad_embd += 1  # wrong length / nested / NaN vectors
+                    continue
+                mat[idx] = v
+            if bad_embd:
+                print(f"WARNING: skipped {bad_embd} unusable 'embd' vectors "
+                      f"(wrong length / non-numeric / non-finite); rows stay zero.")
+            np.save(os.path.join(out_dir, "item_embeddings.npy"), mat)
+            print("Item embeddings saved to 'item_embeddings.npy'.")
     with open(os.path.join(out_dir, "stats.json"), "w") as f:
         json.dump(
             {

@@ -189,16 +189,19 @@ class LightGCN:
         }
 
     # --- forward ---
+    def _initial_tables(self, params):
+        """Layer-0 (user, item, brand) tables, padded rows as stored.
+        The Fusion variant overrides this to return the fused item block;
+        every forward path (dense block, halo tables) builds on it."""
+        return (
+            params["user_embedding"],
+            params["item_embedding"],
+            params["brand_embedding"],
+        )
+
     def _initial_block(self, params):
         """Layer-0 node block [users | items | brands]."""
-        return jnp.concatenate(
-            [
-                params["user_embedding"],
-                params["item_embedding"],
-                params["brand_embedding"],
-            ],
-            axis=0,
-        )
+        return jnp.concatenate(self._initial_tables(params), axis=0)
 
     def apply(self, params: dict, graph: DeviceGraph):
         """Forward pass.
@@ -247,6 +250,22 @@ class LightGCN:
                 [ego, jnp.zeros((num_nodes_pad - num_nodes, ego.shape[1]), ego.dtype)]
             )
         final = propagator(ego)[:num_nodes]
+        return self._split_final(final, params)
+
+    def apply_with_table_propagator(self, params: dict, propagator):
+        """Forward pass through a propagator taking the three layer-0
+        tables separately (the table-sharded halo path, parallel/halo.py:
+        row-sharded params enter the shard_map per table, so the layer-0
+        halo exchange is three per-table all-gathers and no
+        table-layout-to-node-layout relayout collective is ever needed).
+        Tables are padded to their TP row pads if the caller passed
+        logical-shape params (e.g. a restored logical checkpoint).
+        Same returns as ``apply``."""
+        u, i, b = self._initial_tables(params)
+        u = self._pad_rows(u, self.num_users_pad)
+        i = self._pad_rows(i, self.num_items_pad)
+        b = self._pad_rows(b, self.num_brands_pad)
+        final = propagator(u, i, b)
         return self._split_final(final, params)
 
 

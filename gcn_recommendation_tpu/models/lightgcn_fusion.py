@@ -104,9 +104,10 @@ class LightGCN_Fusion(LightGCN):
             ),
         }
 
-    def _initial_block(self, params):
+    def _initial_tables(self, params):
         # Fuse ID + frozen content embeddings before propagation
-        # (lightgcn_fusion.py:45-49).
+        # (lightgcn_fusion.py:45-49).  Row-wise, so under row-sharded
+        # params each shard fuses only its own item rows.
         combined = jnp.concatenate(
             [
                 params["item_embedding"],
@@ -128,6 +129,4 @@ class LightGCN_Fusion(LightGCN):
             + params["fusion_bias"]
         )
         fused = jax.nn.leaky_relu(fused)  # default slope 0.01, as F.leaky_relu
-        return jnp.concatenate(
-            [params["user_embedding"], fused, params["brand_embedding"]], axis=0
-        )
+        return params["user_embedding"], fused, params["brand_embedding"]

@@ -92,6 +92,16 @@ def shard_graph(graph: DeviceGraph, mesh: Mesh) -> DeviceGraph:
     def place_bucket(x):
         if x.shape[0] % n_model == 0 and x.shape[0] > 0:
             return jax.device_put(x, model_rows)
+        if x.shape[0] >= _REPLICATION_WARN_ROWS and n_model > 1:
+            import warnings
+
+            warnings.warn(
+                f"replicating a large graph bucket {tuple(x.shape)} — rows "
+                f"not divisible by the {n_model}-way model axis; pad buckets "
+                "via graph.build.pad_ell_rows (ShardedTrainer does this "
+                "automatically)",
+                stacklevel=3,
+            )
         return jax.device_put(x, repl)
 
     return DeviceGraph(
@@ -124,21 +134,26 @@ class ShardedTrainer(Trainer):
     def __init__(self, config, model, bundle, mesh: Mesh, logger=None):
         self.mesh = mesh
         n_model = mesh.shape[MODEL_AXIS]
-        if n_model > 1 and model.needs_row_padding(n_model):
+        if n_model > 1:
             # pad the tables (and, via Trainer._host_graph, the adjacency's
             # node space) so row-sharding works for arbitrary vocab sizes.
-            # Work on a copy: the caller's model may be shared with an
-            # unpadded single-device trainer.
+            # Even when every vocab divides the mesh, set_row_multiple is
+            # applied so _host_graph pads the ELL bucket *rows* too —
+            # otherwise a non-divisible bucket silently replicates
+            # (round-2 ADVICE.md).  Work on a copy: the caller's model may
+            # be shared with an unpadded single-device trainer.
             import copy
 
+            padded = model.needs_row_padding(n_model)
             model = copy.copy(model)
             model.set_row_multiple(n_model)
-            print(
-                f"TP padding: tables -> multiples of {n_model} "
-                f"(users {model.num_users}->{model.num_users_pad}, "
-                f"items {model.num_items}->{model.num_items_pad}, "
-                f"brands {model.num_brands}->{model.num_brands_pad})"
-            )
+            if padded:
+                print(
+                    f"TP padding: tables -> multiples of {n_model} "
+                    f"(users {model.num_users}->{model.num_users_pad}, "
+                    f"items {model.num_items}->{model.num_items_pad}, "
+                    f"brands {model.num_brands}->{model.num_brands_pad})"
+                )
         super().__init__(config, model, bundle, logger=logger)
         repl = NamedSharding(mesh, P())
         self.arrays = self.arrays._replace(
@@ -179,14 +194,16 @@ class ShardedTrainer(Trainer):
 
 
 def validate_with_sharded_topk(trainer, params):
-    """Distributed validation shared by every model-axis-sharded trainer
+    """Distributed validation shared by every mesh-sharded trainer
     (GSPMD ShardedTrainer and the halo-exchange HaloTrainer): forward via
     the trainer's own propagation schedule, then the items-row-sharded
-    local-top-k + all-gather merge evaluator.  Falls back to the
-    single-device evaluator when the model axis is 1 (pure DP)."""
+    local-top-k + all-gather merge evaluator, with user batches split
+    over the data axis (round-2 VERDICT #3 — pure-DP meshes used to fall
+    back to a fully replicated evaluator and (d, m) meshes computed every
+    eval d times).  Only a trivial 1x1 mesh uses the single-device path."""
     from gcn_recommendation_tpu.train.evaluate import build_eval_batches
 
-    if trainer.mesh.shape[MODEL_AXIS] <= 1:
+    if trainer.mesh.size <= 1:
         return Trainer.validate(trainer, params)
     fu, fi, *_ = trainer._forward_eval(params)
     if trainer._eval_batches is None:
@@ -324,23 +341,44 @@ def pad_rows(x: np.ndarray, multiple: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_eval_scan(mesh: Mesh, k: int, shard_items: int, num_items: int):
+def _sharded_eval_scan(
+    mesh: Mesh, k: int, shard_items: int, num_items: int, data_sharded: bool
+):
     """Jitted shard_map scan over stacked eval batches: the whole tier —
     score, mask, local top-k, all-gather merge, hit/NDCG reduction — runs
     as ONE device dispatch and returns three scalars.
+
+    ``data_sharded`` splits every eval batch's user dim over the data
+    axis (round-2 VERDICT #3: the batches used to be replicated, so a
+    (2,4) mesh computed every eval twice and pure-DP meshes not at all):
+    each data shard scores only its ``B / n_data`` users against the
+    item shards on its model axis, and the three metric scalars psum
+    over ``data`` at the end — eval wall-clock now scales with both mesh
+    axes.  Falls back to replicated batches when the batch size does not
+    divide the data axis.
 
     Mirrors ops/topk.py::topk_eval_scan; the per-batch dispatch loop paid
     a host round trip per 1024 users (~110 ms on the remote tunnel), plus
     a host-side metric pass.  Cached per (mesh, k, shard, catalog)."""
 
+    if data_sharded:
+        batch_specs = (
+            P(None, DATA_AXIS),
+            P(None, DATA_AXIS),
+            P(None, DATA_AXIS, None),
+            P(None, DATA_AXIS),
+        )
+    else:
+        batch_specs = (P(), P(), P(), P())
+
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(MODEL_AXIS, None), P(), P(), P(), P()),
+        in_specs=(P(), P(MODEL_AXIS, None)) + batch_specs,
         out_specs=(P(), P(), P()),
-        # after the all_gather every shard computes the identical merge and
-        # metric sums, so the outputs are replicated even though the VMA
-        # analysis can't see it
+        # after the model-axis all_gather (and the data-axis psum) every
+        # shard holds the identical scalars even though the VMA analysis
+        # can't see it
         check_vma=False,
     )
     def run(fu, item_shard, users, true_items, filt, valid):
@@ -351,7 +389,7 @@ def _sharded_eval_scan(mesh: Mesh, k: int, shard_items: int, num_items: int):
                 u, item_shard, fs, k, shard_items, MODEL_AXIS,
                 num_valid_items=num_items,
             )
-            all_vals = jax.lax.all_gather(vals, MODEL_AXIS)  # [m, B, k]
+            all_vals = jax.lax.all_gather(vals, MODEL_AXIS)  # [m, B_local, k]
             all_idx = jax.lax.all_gather(gidx, MODEL_AXIS)
             _, best_idx = merge_topk_candidates(all_vals, all_idx, k)
             r, n, c = topk_hit_metrics(best_idx, ts, vs)
@@ -361,6 +399,10 @@ def _sharded_eval_scan(mesh: Mesh, k: int, shard_items: int, num_items: int):
         (r, n, c), _ = jax.lax.scan(
             body, init, (users, true_items, filt, valid)
         )
+        if data_sharded:
+            r = jax.lax.psum(r, DATA_AXIS)
+            n = jax.lax.psum(n, DATA_AXIS)
+            c = jax.lax.psum(c, DATA_AXIS)
         return r, n, c
 
     return jax.jit(run)
@@ -397,6 +439,7 @@ def evaluate_sharded(
         return 0.0, 0.0
 
     n_model = mesh.shape[MODEL_AXIS]
+    n_data = mesh.shape[DATA_AXIS]
     i, d = fi.shape
     i_pad = -(-i // (n_model * 8)) * n_model * 8
     fi = jnp.asarray(fi)
@@ -404,7 +447,10 @@ def evaluate_sharded(
         fi = jnp.concatenate([fi, jnp.zeros((i_pad - i, d), fi.dtype)])
     item_sharded = jax.device_put(fi, NamedSharding(mesh, P(MODEL_AXIS, None)))
     fu_repl = jax.device_put(jnp.asarray(fu), NamedSharding(mesh, P()))
-    run = _sharded_eval_scan(mesh, k, i_pad // n_model, num_items)
+    # user batches split over the data axis whenever the static batch
+    # width divides it (build_eval_batches pads every tier to batch_size)
+    data_sharded = n_data > 1 and all(b[0].shape[1] % n_data == 0 for b in batches)
+    run = _sharded_eval_scan(mesh, k, i_pad // n_model, num_items, data_sharded)
 
     recall_sum = ndcg_sum = count = 0.0
     for bu, bt, filt, valid in batches:

@@ -64,15 +64,40 @@ class Retriever:
         item_emb: jax.Array,
         bundle: DataBundle,
         quantize: bool = False,
+        mesh=None,
     ):
-        self.user_emb = user_emb
+        """``mesh``: an optional ('data','model') jax.sharding.Mesh — the
+        item catalog is then row-sharded over the model axis and every
+        ``recommend`` call scores through the distributed local-top-k +
+        all-gather merge (parallel/spmd.py::sharded_topk_eval_batch), so
+        catalogs too large for one chip's HBM can still serve.  Mutually
+        exclusive with ``quantize`` (the int8 kernel is single-device)."""
+        self.mesh = mesh
+        if mesh is not None and quantize:
+            raise ValueError("int8 catalog and mesh sharding are mutually "
+                             "exclusive (the int8 score kernel is single-device)")
         self.num_items = int(item_emb.shape[0])
         self.quantized = quantize
         if quantize:
             self.item_q, self.item_scale = quantize_rows_int8(item_emb)
             self.item_emb = None
+        elif mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from gcn_recommendation_tpu.core.mesh import MODEL_AXIS
+            from gcn_recommendation_tpu.parallel.spmd import pad_rows
+
+            n_model = mesh.shape[MODEL_AXIS]
+            item_pad = pad_rows(np.asarray(item_emb), n_model * 8)
+            self.item_emb = jax.device_put(
+                jnp.asarray(item_pad), NamedSharding(mesh, P(MODEL_AXIS, None))
+            )
+            user_emb = jax.device_put(
+                jnp.asarray(user_emb), NamedSharding(mesh, P())
+            )
         else:
             self.item_emb = item_emb
+        self.user_emb = user_emb
         # seen-item filter: the user's train interactions
         f_ptr, f_items = membership_arrays(
             bundle.train.user_idx, bundle.train.item_idx, bundle.num_users
@@ -81,7 +106,9 @@ class Retriever:
         self._deg = f_ptr[1:] - f_ptr[:-1]
 
     @classmethod
-    def from_params(cls, model, params, bundle: DataBundle, quantize: bool = False):
+    def from_params(
+        cls, model, params, bundle: DataBundle, quantize: bool = False, mesh=None
+    ):
         """Propagate once and build a retriever from trained params.
 
         The graph is built in the model's propagation storage dtype so
@@ -92,7 +119,7 @@ class Retriever:
             embedding_dim=getattr(model, "embedding_dim", 64),
         )
         fu, fi, *_ = model.apply(params, graph)
-        return cls(fu, fi, bundle, quantize=quantize)
+        return cls(fu, fi, bundle, quantize=quantize, mesh=mesh)
 
     def _filter_batch(self, users: np.ndarray, filter_seen: bool) -> np.ndarray:
         """[B_pad, F] padded seen-item lists at bucketed width.
@@ -130,6 +157,16 @@ class Retriever:
         if self.quantized:
             vals, idx = _serve_topk_int8(
                 self.user_emb, users_d, self.item_q, self.item_scale, filt, k
+            )
+        elif self.mesh is not None:
+            from gcn_recommendation_tpu.parallel.spmd import (
+                sharded_topk_eval_batch,
+            )
+
+            u = jnp.take(self.user_emb, users_d, axis=0)
+            vals, idx = sharded_topk_eval_batch(
+                self.mesh, u, self.item_emb, filt, k,
+                num_valid_items=self.num_items,
             )
         else:
             vals, idx = _serve_topk_f32(

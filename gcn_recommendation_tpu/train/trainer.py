@@ -112,7 +112,11 @@ class Trainer:
         tables are row-padded for tensor parallelism."""
         m = self.model
         pads = (m.num_users_pad, m.num_items_pad, m.num_brands_pad)
-        if pads != (m.num_users, m.num_items, m.num_brands):
+        # bucket padding also runs when the vocabs already divide the mesh
+        # (row_multiple > 1 but pads == logical): an ELL bucket's row count
+        # need not divide the model axis even then, and shard_graph would
+        # silently replicate that bucket (round-2 ADVICE.md finding)
+        if pads != (m.num_users, m.num_items, m.num_brands) or m.row_multiple > 1:
             from gcn_recommendation_tpu.graph.build import pad_graph_nodes
 
             return pad_graph_nodes(

@@ -110,6 +110,55 @@ def _promote_staged() -> None:
     _barrier("promote")
 
 
+def _layout_sidecar(path: str) -> str:
+    return path + ".layout.json"
+
+
+def _write_layout(path: str) -> None:
+    """Record the checkpoint's storage layout next to it.
+
+    Pod-mode checkpoints store the padded/sharded state as-is while
+    single-process ones store logical (unpadded) shapes, so a checkpoint
+    written in one mode cannot restore in the other; the sidecar turns
+    the resulting opaque Orbax shape error into a descriptive one."""
+    import json
+
+    if jax.process_index() != 0:
+        return
+    meta = {
+        "layout": "sharded" if _multiprocess() else "logical",
+        "process_count": int(jax.process_count()),
+    }
+    tmp = _layout_sidecar(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _layout_sidecar(path))
+
+
+def _check_layout(path: str) -> None:
+    import json
+
+    sidecar = _layout_sidecar(path)
+    if not os.path.exists(sidecar):
+        return  # pre-sidecar checkpoint; fall through to Orbax's own check
+    try:
+        with open(sidecar) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        return
+    current = "sharded" if _multiprocess() else "logical"
+    if meta.get("layout") != current:
+        raise RuntimeError(
+            f"checkpoint at {path} was written in {meta.get('layout')!r} "
+            f"layout (process_count={meta.get('process_count')}) but this "
+            f"run is {current!r} (process_count={jax.process_count()}): "
+            "pod-mode checkpoints store padded/sharded shapes while "
+            "single-process ones store logical shapes — restore it with a "
+            "run of the same mode (or convert via a single-process "
+            "save/load roundtrip)."
+        )
+
+
 def save(
     ckpt_dir: str,
     tag: str,
@@ -149,10 +198,18 @@ def save(
     ckptr.wait_until_finished()  # previous write is durable now
     _promote_staged()
     staging = path + _STAGING_SUFFIX
-    if os.path.exists(staging):
+    # Stale-staging cleanup (leftover from a crashed run) must be
+    # single-writer: in pod mode every process sees the same shared
+    # filesystem, and concurrent rmtree calls race each other (ENOENT
+    # mid-walk) — worse, a slow process could delete a staging dir a
+    # fast process's Orbax write has just started repopulating.  So only
+    # process 0 cleans, and everyone fences before the collective save.
+    if jax.process_index() == 0 and os.path.exists(staging):
         shutil.rmtree(staging)  # stale leftover from a crashed run
+    _barrier("staging_clean")
     ckptr.save(staging, state)
     _staged[path] = staging
+    _write_layout(path)
     return path
 
 
@@ -178,6 +235,7 @@ def _restore(path: str, params_template, opt_state_template) -> Optional[Tuple]:
     _barrier("restore_promote")
     if not os.path.exists(path):
         return None
+    _check_layout(path)
     dummy_key = jax.random.PRNGKey(0)
     abstract = jax.tree.map(
         ocp.utils.to_shape_dtype_struct,

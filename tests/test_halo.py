@@ -142,6 +142,75 @@ def test_halo_trainer_validate(tiny_bundle, tmp_path):
     np.testing.assert_allclose(n1, n2, rtol=1e-5)
 
 
+def test_halo_trainer_state_is_row_sharded(tiny_bundle, tmp_path):
+    """Round-2 VERDICT #2: the halo schedule must row-shard params AND
+    Adam state over the model axis (per-chip memory 1/m), not replicate."""
+    from gcn_recommendation_tpu.config import Config
+    from gcn_recommendation_tpu.models import get_model
+    from gcn_recommendation_tpu.parallel.halo import HaloTrainer
+
+    bundle, _ = tiny_bundle
+    cfg = Config(embedding_dim=16, n_layers=2, epochs=1, batch_size=128,
+                 checkpoint_dir=str(tmp_path / "c"), results_dir=str(tmp_path / "r"))
+    model = get_model("LightGCN")(
+        bundle.num_users, bundle.num_items, bundle.num_brands, cfg
+    )
+    mesh = create_mesh(MeshSpec(data=2, model=4))
+    halo = HaloTrainer(cfg, model, bundle, mesh)
+    params, opt_state = halo.init_state(jax.random.PRNGKey(0))
+    for k in ("user_embedding", "item_embedding", "brand_embedding"):
+        assert params[k].sharding.spec[0] == "model", k
+        # optax.adam state: (ScaleByAdamState(count, mu, nu), ...)
+        assert opt_state[0].mu[k].sharding.spec[0] == "model", f"mu/{k}"
+        assert opt_state[0].nu[k].sharding.spec[0] == "model", f"nu/{k}"
+    # params/opt survive an epoch still sharded (no silent re-replication)
+    params, opt_state, _ = halo._epoch_fn(params, opt_state, jax.random.PRNGKey(3))
+    assert params["user_embedding"].sharding.spec[0] == "model"
+    assert opt_state[0].mu["user_embedding"].sharding.spec[0] == "model"
+
+
+def test_halo_trainer_nondivisible_vocab_matches_single_device(tmp_path):
+    """TP-padded halo: vocab sizes that do NOT divide the model axis."""
+    from gcn_recommendation_tpu.config import Config
+    from gcn_recommendation_tpu.data.loader import load_preprocessed_data
+    from gcn_recommendation_tpu.data.synthetic import generate_synthetic_dataset
+    from gcn_recommendation_tpu.models import get_model
+    from gcn_recommendation_tpu.parallel.halo import HaloTrainer
+    from gcn_recommendation_tpu.train.trainer import Trainer
+
+    out = tmp_path / "odd"
+    generate_synthetic_dataset(
+        str(out), num_users=157, num_items=101, num_brands=13,
+        mean_degree=9.0, core=3, seed=1, embedding_dim=None,
+    )
+    bundle = load_preprocessed_data(str(out), use_brand=True, verbose=False)
+    cfg = Config(embedding_dim=16, n_layers=2, epochs=1, batch_size=64,
+                 checkpoint_dir=str(tmp_path / "c"), results_dir=str(tmp_path / "r"))
+    model = get_model("LightGCN")(
+        bundle.num_users, bundle.num_items, bundle.num_brands, cfg
+    )
+    mesh = create_mesh(MeshSpec(data=2, model=4))
+    halo = HaloTrainer(cfg, model, bundle, mesh)
+    single = Trainer(cfg, model, bundle)
+    assert halo.model.num_users_pad % 4 == 0 and halo.model.num_users_pad != bundle.num_users
+
+    p1, o1 = single.init_state(jax.random.PRNGKey(0))
+    p2, o2 = halo.init_state(jax.random.PRNGKey(0))
+    p1, o1, l1 = single._epoch_fn(p1, o1, jax.random.PRNGKey(3))
+    p2, o2, l2 = halo._epoch_fn(p2, o2, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-4, atol=1e-6)
+    p2 = halo.model.unpad_state_tree(jax.device_get(p2))
+    for k in p1:
+        np.testing.assert_allclose(
+            np.asarray(p1[k]), np.asarray(p2[k]), rtol=2e-4, atol=1e-6
+        )
+    # validation agrees too (sharded top-k over the padded item table)
+    r1, n1 = single.validate(p1)
+    r2, n2 = halo.validate(halo.model.pad_state_tree(p1))
+    np.testing.assert_allclose(r1, r2, rtol=1e-6)
+    np.testing.assert_allclose(n1, n2, rtol=1e-5)
+
+
 def test_halo_trainer_brand_loss_matches_single_device(tiny_bundle, tmp_path):
     """Regression: HaloTrainer used to silently drop config.brand_loss
     (its hand-rolled batch loss never passed the brand arguments); now it

@@ -197,6 +197,62 @@ def test_sharded_eval_wide_tiers_match_single_device():
     np.testing.assert_allclose(n_sh, n_ref, rtol=1e-5)
 
 
+@pytest.mark.parametrize("mesh_shape,batch", [
+    ((8, 1), 4),   # pure DP: items unsharded, users split 8 ways
+    ((4, 2), 4),   # both axes active
+    ((2, 4), 3),   # batch does not divide data axis -> replicated fallback
+])
+def test_sharded_eval_data_axis_matches_single_device(mesh_shape, batch):
+    """Round-2 VERDICT #3: eval batches split over the DATA axis (and the
+    pure-DP mesh no longer falls back to a replicated evaluator) — all
+    mesh shapes must agree with the single-device evaluator exactly."""
+    from gcn_recommendation_tpu.data.loader import Interactions
+    from gcn_recommendation_tpu.parallel.spmd import evaluate_sharded
+    from gcn_recommendation_tpu.train.evaluate import evaluate_embeddings
+
+    rng = np.random.default_rng(21)
+    nu, ni, d, k = 30, 500, 8, 10
+    fu = rng.standard_normal((nu, d)).astype(np.float32)
+    fi = rng.standard_normal((ni, d)).astype(np.float32)
+    tr_u = np.repeat(np.arange(nu, dtype=np.int32), 6)
+    tr_i = rng.integers(0, ni, nu * 6).astype(np.int32)
+    train = Interactions(tr_u, tr_i)
+    val = Interactions(
+        np.arange(nu, dtype=np.int32),
+        rng.integers(0, ni, nu).astype(np.int32),
+    )
+    mesh = create_mesh(MeshSpec(*mesh_shape))
+    r_ref, n_ref = evaluate_embeddings(
+        jnp.asarray(fu), jnp.asarray(fi), val, train, nu, ni, k,
+        batch_size=batch,
+    )
+    r_sh, n_sh = evaluate_sharded(
+        mesh, jnp.asarray(fu), jnp.asarray(fi), val, train, nu, ni, k,
+        batch_size=batch,
+    )
+    np.testing.assert_allclose(r_sh, r_ref, rtol=1e-6)
+    np.testing.assert_allclose(n_sh, n_ref, rtol=1e-5)
+
+
+def test_pure_dp_trainer_validate_matches_single_device(tiny_bundle, tmp_path):
+    """A pure-DP (8,1) ShardedTrainer's validate must use the data-sharded
+    evaluator (not the old replicated fallback) and agree exactly."""
+    bundle, _ = tiny_bundle
+    cfg = Config(embedding_dim=16, n_layers=2, epochs=1, batch_size=128,
+                 checkpoint_dir=str(tmp_path / "c"), results_dir=str(tmp_path / "r"))
+    model = get_model("LightGCN")(
+        bundle.num_users, bundle.num_items, bundle.num_brands, cfg
+    )
+    mesh = create_mesh(MeshSpec(data=8, model=1))
+    sharded = ShardedTrainer(cfg, model, bundle, mesh)
+    single = Trainer(cfg, model, bundle)
+    params, _ = single.init_state(jax.random.PRNGKey(0))
+    r1, n1 = single.validate(params)
+    r2, n2 = sharded.validate(params)
+    np.testing.assert_allclose(r1, r2, rtol=1e-6)
+    np.testing.assert_allclose(n1, n2, rtol=1e-5)
+
+
 @pytest.fixture(scope="module")
 def nondivisible_bundle():
     """Deliberately non-divisible table sizes on a 4-way model axis

@@ -138,6 +138,147 @@ def test_loader_rejects_missing_stats(tmp_path):
         load_preprocessed_data(str(tmp_path))
 
 
+# ---------------------------------------------------------------------------
+# Adversarial ETL fuzzing (round-2 VERDICT #7): every recipe must survive
+# hostile jsonl — multi-MB lines, unicode garbage, duplicate ids, embd
+# length drift, numeric brands — producing the same node counts as a
+# clean-only run (garbage skipped, never silently miscounted).
+# ---------------------------------------------------------------------------
+
+def _clean_records(recipe_name, n_users=4, n_items=4):
+    """(reviews, meta) records every recipe parses as fully clean."""
+    reviews, meta = [], []
+    for u in range(n_users):
+        for i in range(n_items):
+            base = {"user_id": f"u{u}", "rating": float(1 + (u + i) % 5),
+                    "sentiment": "positive", "recommanded": True,
+                    "timestamp": float(u * 10 + i)}
+            if recipe_name in ("amazon_books", "amazon_books_senti"):
+                base["parent_asin"] = f"i{i}"
+            else:
+                base["item_id"] = f"i{i}"
+            reviews.append(base)
+    for i in range(n_items):
+        m = {"author": {"name": f"A{i % 2}"},
+             "details": {"Brand": f"B{i % 2}"},
+             "categories": ["Root", f"Cat{i % 2}", "CatX"],
+             "genres": [f"G{i % 2}"], "tags": {"Indie": 3},
+             "embd": [float(i)] * 8}
+        if recipe_name in ("amazon_books", "amazon_books_senti",
+                           "amazon_sport_emb"):
+            m["parent_asin"] = f"i{i}"
+        else:
+            m["item_id"] = f"i{i}"
+        meta.append(m)
+    return reviews, meta
+
+
+def _hostile_lines():
+    """Raw hostile jsonl lines (strings, appended verbatim)."""
+    big = json.dumps({"irrelevant": "A" * 2_500_000})  # multi-MB valid line
+    return [
+        big,
+        '\xff\xfe\x00 binary-ish garbage \x9c',        # undecodable bytes
+        '{"user_id": "u‮\ud800"',                  # truncated + weird unicode
+        json.dumps({"user_id": "気‮", "rating": None,
+                    "sentiment": "positive", "recommanded": True}),  # null fields
+        '[1, 2, 3]',                                    # non-object JSON
+        'null',
+        json.dumps({"user_id": 12345, "item_id": {"nested": True},
+                    "parent_asin": ["list"], "rating": "four-ish",
+                    "timestamp": "yesterday", "sentiment": "positive",
+                    "recommanded": True}),              # garbage field types
+    ]
+
+
+def _hostile_meta_lines():
+    return [
+        json.dumps({"item_id": "i0", "parent_asin": "i0",
+                    "categories": [None, 7, 2.5],       # numeric/None brands
+                    "author": 999, "details": "not-a-dict",
+                    "genres": "not-a-list", "tags": ["not", "a", "dict"],
+                    "embd": 3.14}),                     # scalar embd
+        json.dumps({"item_id": "i1", "parent_asin": "i1",
+                    "categories": ["Root", "Cat1", "CatX"],
+                    "author": {"name": "A1"}, "details": {"Brand": "B1"},
+                    "genres": ["G1"], "tags": {"Indie": 3},
+                    "embd": [[1.0, 2.0]]}),             # nested embd
+        '{"item_id": "i2", "categor',                   # truncated
+        json.dumps({"wrong_key_only": True}),
+    ]
+
+
+@pytest.mark.parametrize("recipe_name", sorted(RECIPES))
+def test_fuzz_hostile_jsonl_every_recipe(tmp_path, recipe_name):
+    reviews, meta = _clean_records(recipe_name)
+
+    def run(tag, extra_review_lines=(), extra_meta_lines=(), dupes=0):
+        rp = tmp_path / f"r_{tag}.jsonl"
+        mp = tmp_path / f"m_{tag}.jsonl"
+        with open(rp, "w", encoding="utf-8", errors="surrogateescape") as f:
+            lines = [json.dumps(r) for r in reviews] + list(extra_review_lines)
+            # duplicates of clean rows — real dumps repeat interactions
+            lines += [json.dumps(reviews[j % len(reviews)]) for j in range(dupes)]
+            rng = np.random.default_rng(7)
+            for j in rng.permutation(len(lines)):
+                try:
+                    f.write(lines[j] + "\n")
+                except UnicodeEncodeError:
+                    f.write(lines[j].encode("utf-8", "replace").decode() + "\n")
+        with open(mp, "w", encoding="utf-8") as f:
+            for line in list(extra_meta_lines) + [json.dumps(m) for m in meta]:
+                f.write(line + "\n")
+        return prepare_and_save_data(
+            RECIPES[recipe_name], str(rp), str(mp),
+            str(tmp_path / f"o_{tag}"), core=2,
+        )
+
+    out_clean = run("clean")
+    out_fuzz = run("fuzz", _hostile_lines(), _hostile_meta_lines(), dupes=5)
+    s_clean = json.load(open(os.path.join(out_clean, "stats.json")))
+    s_fuzz = json.load(open(os.path.join(out_fuzz, "stats.json")))
+    # node counts identical: hostile lines are skipped, clean-row
+    # duplicates add interactions but never new users/items/brands
+    assert s_fuzz == s_clean, (recipe_name, s_clean, s_fuzz)
+    test = pd.read_parquet(os.path.join(out_fuzz, "test.parquet"))
+    assert len(test) == s_fuzz["num_users"]  # leave-one-out invariant holds
+
+
+def test_fuzz_embd_length_drift(tmp_path):
+    """'embd' length drifting mid-file: the matrix dim must follow the
+    MODAL length (never the first record's), drifted vectors stay zero."""
+    reviews, meta = _clean_records("amazon_books_emb", n_users=4, n_items=6)
+    # first item's vector is truncated (drifted); majority are length 8
+    meta[0]["embd"] = [0.5, 0.5]
+    meta[5]["embd"] = "corrupt"
+    rp, mp = tmp_path / "r.jsonl", tmp_path / "m.jsonl"
+    _write_jsonl(rp, reviews)
+    _write_jsonl(mp, meta)
+    out = prepare_and_save_data(
+        RECIPES["amazon_books_emb"], str(rp), str(mp), str(tmp_path / "o"), core=2
+    )
+    emb = np.load(os.path.join(out, "item_embeddings.npy"))
+    assert emb.shape[1] == 8          # modal, not first-record, length
+    assert (emb[0] == 0).all()        # drifted vector rejected -> zero row
+    assert (np.abs(emb).sum(axis=1) > 0).sum() == 4  # i1..i4 kept
+
+
+def test_fuzz_scalar_first_embd_does_not_crash(tmp_path):
+    """A truthy scalar first 'embd' used to crash len() (round-2
+    ADVICE.md); now it is skipped and the rest of the file decides."""
+    reviews, meta = _clean_records("amazon_books_emb", n_users=4, n_items=4)
+    meta[0]["embd"] = 3.14
+    rp, mp = tmp_path / "r.jsonl", tmp_path / "m.jsonl"
+    _write_jsonl(rp, reviews)
+    _write_jsonl(mp, meta)
+    out = prepare_and_save_data(
+        RECIPES["amazon_books_emb"], str(rp), str(mp), str(tmp_path / "o"), core=2
+    )
+    emb = np.load(os.path.join(out, "item_embeddings.npy"))
+    assert emb.shape[1] == 8
+    assert (np.abs(emb).sum(axis=1) > 0).sum() == 3
+
+
 def test_dirty_real_dump_lines_survive(tmp_path):
     """Real Amazon/Steam dumps contain truncated JSON, non-object rows,
     garbage field types, and broken 'embd' vectors; the pipeline must
