@@ -129,6 +129,18 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--style", type=str, default="popularity",
                     choices=["popularity", "latent"],
                     help="Synthetic data flavor (latent = learnable structure).")
+    # latent-style regime knobs (see data/synthetic.py: temperature/dim set
+    # how predictable taste is; emb_noise derives informative content
+    # embeddings from the item factors; brand_style=latent clusters brands
+    # in taste space)
+    pr.add_argument("--latent_dim", type=int, default=16)
+    pr.add_argument("--temperature", type=float, default=0.35)
+    pr.add_argument("--emb_noise", type=float, default=None,
+                    help="If set (latent style), item_embeddings.npy is a "
+                         "noisy projection of the true item factors instead "
+                         "of pure noise.")
+    pr.add_argument("--brand_style", type=str, default="random",
+                    choices=["random", "latent"])
     pr.add_argument("--seed", type=int, default=42)
     return p
 

@@ -436,6 +436,10 @@ def run_recipe(args) -> int:
             seed=args.seed,
             embedding_dim=args.embedding_dim,
             style=getattr(args, "style", "popularity"),
+            latent_dim=getattr(args, "latent_dim", 16),
+            temperature=getattr(args, "temperature", 0.35),
+            emb_noise=getattr(args, "emb_noise", None),
+            brand_style=getattr(args, "brand_style", "random"),
         )
         print(f"Synthetic dataset written to {out}")
         return 0

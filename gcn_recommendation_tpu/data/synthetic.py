@@ -35,7 +35,8 @@ def generate_interactions_latent(
     core: int,
     latent_dim: int = 16,
     temperature: float = 0.35,
-) -> Tuple[np.ndarray, np.ndarray]:
+    return_latents: bool = False,
+):
     """Sample interactions from a latent-factor taste model.
 
     Users/items get latent vectors; user u's items are a Gumbel-top-k
@@ -43,6 +44,16 @@ def generate_interactions_latent(
     sampling without replacement proportional to preference.  Unlike the
     pure-popularity mode this has collaborative structure LightGCN can
     actually learn, so training curves climb like on real review data.
+
+    ``temperature`` and ``latent_dim`` are the regime knobs: low
+    temperature / low dim -> highly predictable taste (dense-catalog
+    regime, reference exp/ recall ~0.66); high temperature / high dim ->
+    weak signal (exp_zno regime, ~0.06).  With ``return_latents`` the
+    item factor matrix ``lv`` is also returned so callers can derive
+    *informative* content embeddings / brand assignments from the same
+    generative state (mirroring real metadata, which correlates with
+    taste — e.g. the reference's pretrained review-text embeddings,
+    dataset/amazon_books_emb/prepare_data.py:141-150).
     """
     lu = rng.standard_normal((num_users, latent_dim)) / np.sqrt(latent_dim)
     lv = rng.standard_normal((num_items, latent_dim)) / np.sqrt(latent_dim)
@@ -70,7 +81,56 @@ def generate_interactions_latent(
             items_out.append(row[order].astype(np.int64))
     users = np.concatenate(users_out)
     items = np.concatenate(items_out)
+    if return_latents:
+        return users.astype(np.int32), items.astype(np.int32), lv
     return users.astype(np.int32), items.astype(np.int32)
+
+
+def informative_item_embeddings(
+    rng: np.random.Generator,
+    lv: np.ndarray,
+    embedding_dim: int,
+    noise: float = 1.0,
+) -> np.ndarray:
+    """Content embeddings correlated with the true item taste factors.
+
+    Real pretrained content embeddings (review-text/metadata encoders,
+    dataset/amazon_books_emb/prepare_data.py:141-150) carry signal about
+    what the item IS — which correlates with who likes it.  Model that as
+    a random linear projection of the generative latent factors plus
+    Gaussian noise: ``E = lv @ P + noise * N(0, 1)``, row-normalized to
+    unit scale like encoder outputs.  ``noise`` tunes how useful the
+    content signal is (0 = perfectly informative, >> 1 = the round-1
+    pure-noise embeddings, under which emb/fus variants cannot beat
+    base — unlike on the reference's real data where they do,
+    BASELINE.md: books base 0.0866 < emb 0.0951 < fus 0.1015).
+    """
+    latent_dim = lv.shape[1]
+    proj = rng.standard_normal((latent_dim, embedding_dim)) / np.sqrt(latent_dim)
+    emb = lv @ proj + noise * rng.standard_normal((lv.shape[0], embedding_dim))
+    emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-8)
+    return emb.astype(np.float32)
+
+
+def latent_cluster_brands(
+    rng: np.random.Generator, lv: np.ndarray, num_brands: int
+) -> np.ndarray:
+    """Brand-per-item assignment correlated with taste: k-means-ish
+    clustering of the item latent factors (a few Lloyd iterations).
+    Mirrors real metadata, where brand/author predicts audience; random
+    brands give the brand graph zero signal, so ``brd`` vs ``nob``
+    deltas could never reproduce the reference's."""
+    n = lv.shape[0]
+    centers = lv[rng.choice(n, size=min(num_brands, n), replace=False)]
+    assign = np.zeros(n, np.int32)
+    for _ in range(5):
+        d2 = ((lv[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1).astype(np.int32)
+        for b in range(centers.shape[0]):
+            m = assign == b
+            if m.any():
+                centers[b] = lv[m].mean(0)
+    return assign
 
 
 def generate_interactions(
@@ -110,17 +170,36 @@ def generate_synthetic_dataset(
     seed: int = 42,
     embedding_dim: Optional[int] = None,
     style: str = "popularity",
+    latent_dim: int = 16,
+    temperature: float = 0.35,
+    emb_noise: Optional[float] = None,
+    brand_style: str = "random",
 ) -> str:
     """Write a synthetic processed dataset; returns the output dir.
 
     ``style``: 'popularity' (Zipf, fast) or 'latent' (latent-factor taste
-    model with learnable collaborative structure).
+    model with learnable collaborative structure).  In latent style,
+    ``latent_dim``/``temperature`` set the regime (see
+    generate_interactions_latent), ``emb_noise`` (not None) derives the
+    item-embedding matrix from the true item factors via
+    informative_item_embeddings instead of pure noise, and
+    ``brand_style='latent'`` clusters brands in taste space
+    (latent_cluster_brands).
     """
     import pandas as pd
 
     rng = np.random.default_rng(seed)
-    gen = generate_interactions_latent if style == "latent" else generate_interactions
-    users, items = gen(rng, num_users, num_items, mean_degree, core)
+    lv = None
+    if style == "latent":
+        users, items, lv = generate_interactions_latent(
+            rng, num_users, num_items, mean_degree, core,
+            latent_dim=latent_dim, temperature=temperature,
+            return_latents=True,
+        )
+    else:
+        users, items = generate_interactions(
+            rng, num_users, num_items, mean_degree, core
+        )
 
     # keep only users with >= 3 interactions so every user survives the
     # leave-one-out test split plus the loader's val split
@@ -139,7 +218,10 @@ def generate_synthetic_dataset(
     test_u, test_i = u_shuf[is_test], i_shuf[is_test]
 
     # one or two brands per item
-    brand1 = rng.integers(0, num_brands, num_items)
+    if brand_style == "latent" and lv is not None:
+        brand1 = latent_cluster_brands(rng, lv, num_brands)
+    else:
+        brand1 = rng.integers(0, num_brands, num_items)
     has2 = rng.random(num_items) < 0.3
     brand2 = rng.integers(0, num_brands, num_items)
     ib_item = np.concatenate([np.arange(num_items), np.arange(num_items)[has2]])
@@ -165,7 +247,10 @@ def generate_synthetic_dataset(
             f,
         )
     if embedding_dim:
-        emb = rng.standard_normal((num_items, embedding_dim)).astype(np.float32)
+        if emb_noise is not None and lv is not None:
+            emb = informative_item_embeddings(rng, lv, embedding_dim, emb_noise)
+        else:
+            emb = rng.standard_normal((num_items, embedding_dim)).astype(np.float32)
         np.save(os.path.join(out_dir, "item_embeddings.npy"), emb)
     return out_dir
 
@@ -179,11 +264,14 @@ def synthetic_bundle(
     seed: int = 0,
     use_brand: bool = True,
     style: str = "popularity",
+    latent_dim: int = 16,
+    temperature: float = 0.35,
 ):
     """Build a DataBundle fully in memory (no parquet round-trip).
 
     Used by __graft_entry__ and bench.py where file I/O is noise.
-    ``style`` as in generate_synthetic_dataset.
+    ``style`` as in generate_synthetic_dataset; ``latent_dim`` /
+    ``temperature`` are the latent-style regime knobs.
     """
     from gcn_recommendation_tpu.data.loader import (
         DataBundle,
@@ -194,8 +282,15 @@ def synthetic_bundle(
     from gcn_recommendation_tpu.graph.build import build_normalized_adjacency
 
     rng = np.random.default_rng(seed)
-    gen = generate_interactions_latent if style == "latent" else generate_interactions
-    users, items = gen(rng, num_users, num_items, mean_degree, core)
+    if style == "latent":
+        users, items = generate_interactions_latent(
+            rng, num_users, num_items, mean_degree, core,
+            latent_dim=latent_dim, temperature=temperature,
+        )
+    else:
+        users, items = generate_interactions(
+            rng, num_users, num_items, mean_degree, core
+        )
     counts = np.bincount(users, minlength=num_users)
     ok = counts[users] >= 3
     users, items = users[ok], items[ok]

@@ -214,6 +214,30 @@ class LightGCN:
         """
         num_nodes = self.num_users_pad + self.num_items_pad + self.num_brands_pad
         ego = self._initial_block(params)
+        # merge-skip fused path: one kernel computes sum_k A^k ego with a
+        # single restore gather for all K layers (ops/spmm.py
+        # propagate_sum_ell) — available when the device graph carries the
+        # permuted-space views and layers >= 2
+        fused = (
+            self.prop_path == "ell"
+            and self.n_layers >= 2
+            and isinstance(graph, DeviceGraph)
+            and len(graph.bucket_nbr_idx_perm) == len(graph.bucket_nbr_idx)
+            and graph.dense_mat_perm is not None
+        )
+        if fused:
+            from gcn_recommendation_tpu.ops.spmm import propagate_sum_ell
+
+            x = ego.astype(self.compute_dtype)
+            s = propagate_sum_ell(
+                self.n_layers, x, graph.bucket_nbr_idx, graph.bucket_nbr_w,
+                graph.bucket_nbr_idx_perm, graph.gather_idx, graph.dense_mat,
+                graph.dense_mat_perm,
+            )
+            final = (
+                (ego.astype(jnp.float32) + s) / (self.n_layers + 1)
+            ).astype(ego.dtype)
+            return self._split_final(final, params)
         # bf16 storage mode: propagate in compute_dtype, accumulate the
         # layer mean in f32 (exact no-op when compute_dtype == f32)
         acc = ego.astype(jnp.float32)

@@ -22,7 +22,8 @@ same structure because A is symmetric, see ``_propagate_ell_bwd``).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+import functools
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +37,15 @@ class DeviceGraph(NamedTuple):
 
     Static sizes (num_users/items/brands) live on the model, not here, so
     this tuple can flow through jit without retracing on metadata.
+
+    The two trailing ``*_perm`` fields are the *permuted-space* views
+    that let multi-layer propagation skip the per-layer merge/restore
+    gather (see propagate_sum_ell): neighbor ids composed with
+    ``gather_idx`` so layer k >= 2 gathers straight from layer k-1's
+    bucket-concat output, plus the hub-row matrix with its columns
+    rearranged into that same parts order.  They default empty — paths
+    that never fuse (COO fallback, hand-built test graphs) don't pay
+    for them.
     """
 
     src: jax.Array            # [nnz_pad] int32, dst-sorted COO
@@ -46,10 +56,16 @@ class DeviceGraph(NamedTuple):
     gather_idx: jax.Array     # [num_nodes] int32 into
                               # concat(buckets, dense rows, zeros row)
     dense_mat: jax.Array      # [H, num_nodes] f32 hub rows (MXU path)
+    bucket_nbr_idx_perm: Tuple[jax.Array, ...] = ()  # gather_idx[nbr_idx]
+    dense_mat_perm: Optional[jax.Array] = None       # [H, nrows] cols permuted
 
 
 def to_device_graph(
-    g: Graph, compute_dtype=jnp.float32, dense_dtype=None, include_coo: bool = False
+    g: Graph,
+    compute_dtype=jnp.float32,
+    dense_dtype=None,
+    include_coo: bool = False,
+    fuse_layers: bool = True,
 ) -> DeviceGraph:
     """``dense_dtype`` (default = compute_dtype) controls the hub-row
     matrix precision: bf16 halves its HBM read at ~0.4% weight rounding —
@@ -58,10 +74,34 @@ def to_device_graph(
     ``include_coo`` additionally ships the sorted-COO view to the device
     (~12 bytes/edge of HBM).  Only the ``path='coo'`` reference/fallback
     propagator needs it; the production ELL path never touches it, so it
-    stays on the host by default."""
+    stays on the host by default.
+
+    ``fuse_layers`` builds the permuted-space views (composed neighbor
+    ids + column-permuted hub matrix) that let propagate_sum_ell skip
+    per-layer merge gathers.  The hub matrix is then resident TWICE
+    (node-column + parts-column order) — worth it single-device (2 of 6
+    merge gathers survive, PERF.md "merge-skip"), opt out where HBM is
+    tighter than step time."""
     if dense_dtype is None:
         dense_dtype = compute_dtype
     empty_i = jnp.zeros((0,), jnp.int32)
+    idx_perm = ()
+    dense_perm = None
+    if fuse_layers:
+        # neighbor ids composed into parts order: layer k >= 2 gathers
+        # directly from layer k-1's bucket-concat output
+        idx_perm = tuple(
+            jnp.asarray(g.gather_idx[b.nbr_idx]) for b in g.buckets
+        )
+        h = g.dense_mat.shape[0]
+        nrows = sum(b.nbr_idx.shape[0] for b in g.buckets) + h + 1
+        dp = np.zeros((h, nrows), g.dense_mat.dtype)
+        # column v of the node-space hub matrix lands at parts position
+        # gather_idx[v]; degree-0 nodes share the trailing zeros position
+        # but their columns are all-zero (no edges), so the collision is
+        # harmless (last-write-wins over zeros)
+        dp[:, g.gather_idx] = g.dense_mat
+        dense_perm = jnp.asarray(dp, dtype=dense_dtype)
     return DeviceGraph(
         src=jnp.asarray(g.src) if include_coo else empty_i,
         dst=jnp.asarray(g.dst) if include_coo else empty_i,
@@ -74,6 +114,8 @@ def to_device_graph(
         ),
         gather_idx=jnp.asarray(g.gather_idx),
         dense_mat=jnp.asarray(g.dense_mat, dtype=dense_dtype),
+        bucket_nbr_idx_perm=idx_perm,
+        dense_mat_perm=dense_perm,
     )
 
 
@@ -162,6 +204,90 @@ def _propagate_ell_bwd(res, g):
 
 
 propagate_ell.defvjp(_propagate_ell_fwd, _propagate_ell_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-layer propagation — merge-skip via permuted space
+# ---------------------------------------------------------------------------
+#
+# Per-layer propagate_ell ends every pass with a [N]-row restore gather
+# (``concat(parts)[gather_idx]``) whose only consumer is the next layer's
+# bucket gathers.  Composing the restore permutation into those gathers at
+# BUILD time (idx_perm = gather_idx[nbr_idx], hub columns rearranged the
+# same way) lets layers 2..K read layer k-1's bucket-concat output
+# directly: K layers need ONE restore gather instead of K, and — because
+# sum_k A^k is symmetric like A itself — the backward pass is the same
+# fused kernel applied to the cotangent, so a 3-layer training step runs
+# 2 merge gathers instead of 6 (measured 0.73 ms each on v5e; PERF.md
+# "step decomposition").
+
+
+def _parts_matvec(x, bucket_idx, bucket_w, dense):
+    """One propagation returning the PARTS-ORDER output [nrows, d]
+    (bucket-concat + hub rows + zeros row), without the restore gather.
+    ``x`` may be node-order (layer 1, with node-space indices/hub matrix)
+    or parts-order (later layers, with composed views)."""
+    parts = [
+        _bucket_reduce(x, idx, w).astype(x.dtype)
+        for idx, w in zip(bucket_idx, bucket_w)
+    ]
+    if dense.shape[0]:
+        parts.append(
+            jnp.dot(
+                dense,
+                x.astype(dense.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        )
+    parts.append(jnp.zeros((1, x.shape[1]), x.dtype))
+    return jnp.concatenate(parts, axis=0)
+
+
+def _sum_matvec(
+    n_layers, ego, bucket_idx, bucket_w, idx_perm, gather_idx, dense_mat,
+    dense_perm,
+):
+    p = _parts_matvec(ego, bucket_idx, bucket_w, dense_mat)
+    s = p.astype(jnp.float32)
+    for _ in range(n_layers - 1):
+        p = _parts_matvec(p, idx_perm, bucket_w, dense_perm)
+        s = s + p.astype(jnp.float32)
+    return s[gather_idx]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def propagate_sum_ell(
+    n_layers, ego, bucket_idx, bucket_w, idx_perm, gather_idx, dense_mat,
+    dense_perm,
+):
+    """``sum_{k=1..K} A_norm^k @ ego`` in f32, scatter-free, with one
+    restore gather total (merge-skip).  Callers form the LightGCN layer
+    mean as ``(ego + result) / (K + 1)`` (models/lightgcn.py:54
+    semantics)."""
+    return _sum_matvec(
+        n_layers, ego, bucket_idx, bucket_w, idx_perm, gather_idx,
+        dense_mat, dense_perm,
+    )
+
+
+def _propagate_sum_fwd(n_layers, ego, bi, bw, ip, gi, dm, dp):
+    out = _sum_matvec(n_layers, ego, bi, bw, ip, gi, dm, dp)
+    return out, (bi, bw, ip, gi, dm, dp)
+
+
+def _propagate_sum_bwd(n_layers, res, g):
+    # sum_k A^k is symmetric (A is), so d(ego) = the same fused kernel
+    # applied to the cotangent — same merge-skip structure backwards.
+    # The primal's dtype equals the neighbor-weight dtype by construction
+    # (both are the graph's compute dtype); residuals must be arrays, so
+    # recover it from there rather than storing a dtype object.
+    bi, bw, ip, gi, dm, dp = res
+    dtype = bw[0].dtype if len(bw) else dm.dtype
+    d_ego = _sum_matvec(n_layers, g.astype(dtype), bi, bw, ip, gi, dm, dp)
+    return (d_ego.astype(dtype), None, None, None, None, None, None)
+
+
+propagate_sum_ell.defvjp(_propagate_sum_fwd, _propagate_sum_bwd)
 
 
 def propagate(emb: jax.Array, graph, num_nodes: int, *, path: str = "ell"):

@@ -130,6 +130,10 @@ class ShardedTrainer(Trainer):
     """
 
     graph_chunking = False
+    # the GSPMD path keeps the per-layer propagation kernel (measured /
+    # tested sharding behavior); skip building+uploading the merge-skip
+    # permuted views shard_graph would drop anyway
+    graph_fuse_layers = False
 
     def __init__(self, config, model, bundle, mesh: Mesh, logger=None):
         self.mesh = mesh

@@ -77,6 +77,10 @@ class Trainer:
     # ShardedTrainer disables this: sharding the tables over devices
     # already brings each shard under the knee.
     graph_chunking = True
+    # Merge-skip fused propagation (permuted-space views, PERF.md "step
+    # decomposition"): single-device only — the GSPMD path keeps the
+    # per-layer kernel whose sharding behavior is measured and tested.
+    graph_fuse_layers = True
 
     def __init__(self, config, model, bundle: DataBundle, logger: Optional[Logger] = None):
         self.config = config
@@ -135,7 +139,9 @@ class Trainer:
             print(f"Graph: source-chunked gathers ({n_chunks} chunks — "
                   f"embedding block above the gather knee, see PERF.md)")
             return to_device_chunked_graph(g, n_chunks, compute_dtype=cdtype)
-        return to_device_graph(g, compute_dtype=cdtype)
+        return to_device_graph(
+            g, compute_dtype=cdtype, fuse_layers=self.graph_fuse_layers
+        )
 
     def _forward(self, params, arrays: TrainArrays):
         """Full model forward given the device arrays — the only piece the
@@ -189,15 +195,18 @@ class Trainer:
             )
         return bpr_loss_reg(fu, fp, fn_, iu, ip, in_, cfg.weight_decay)
 
-    def _train_step(self, params, opt_state, key, arrays: TrainArrays, users, pos):
-        neg = sample_negatives(
-            key,
-            users,
-            arrays.user_ptr,
-            arrays.flat_items,
-            num_items=self.bundle.num_items,
-            n_iters=self.sampler_iters,
-        )
+    def _train_step(
+        self, params, opt_state, key, arrays: TrainArrays, users, pos, neg=None
+    ):
+        if neg is None:
+            neg = sample_negatives(
+                key,
+                users,
+                arrays.user_ptr,
+                arrays.flat_items,
+                num_items=self.bundle.num_items,
+                n_iters=self.sampler_iters,
+            )
         loss, grads = jax.value_and_grad(
             lambda p: self._batch_loss(p, arrays, users, pos, neg)
         )(params)
@@ -213,22 +222,40 @@ class Trainer:
 
         @functools.partial(jax.jit, donate_argnums=donate)
         def run_epoch(params, opt_state, key, arrays: TrainArrays):
-            perm_key, key = jax.random.split(key)
+            perm_key, neg_key, key = jax.random.split(key, 3)
             batches = epoch_batches(perm_key, self.n_train, cfg.batch_size)
             batches = batches[:n_steps]
 
-            def body(carry, batch_idx):
+            # Epoch-level negative sampling: ONE vectorized rejection pass
+            # over all [steps, batch] examples instead of a per-step call
+            # inside the scan.  The membership binary search costs the
+            # same gathered rows either way, but amortizes its sequential
+            # depth (log2(max_deg) dependent micro-ops) over the whole
+            # epoch — measured ~0.8 ms/step at bench scale
+            # (tools/exp_step_profile.py: 1.09 ms in-step vs the
+            # whole-epoch pass).  Distribution unchanged.
+            epoch_users = jnp.take(arrays.train_users, batches)
+            epoch_pos = jnp.take(arrays.train_items, batches)
+            epoch_neg = sample_negatives(
+                neg_key,
+                epoch_users,
+                arrays.user_ptr,
+                arrays.flat_items,
+                num_items=self.bundle.num_items,
+                n_iters=self.sampler_iters,
+            )
+
+            def body(carry, step_data):
                 params, opt_state, key = carry
+                users, pos, neg = step_data
                 key, k1 = jax.random.split(key)
-                users = jnp.take(arrays.train_users, batch_idx)
-                pos = jnp.take(arrays.train_items, batch_idx)
                 params, opt_state, loss = self._train_step(
-                    params, opt_state, k1, arrays, users, pos
+                    params, opt_state, k1, arrays, users, pos, neg
                 )
                 return (params, opt_state, key), loss
 
             (params, opt_state, _), losses = jax.lax.scan(
-                body, (params, opt_state, key), batches
+                body, (params, opt_state, key), (epoch_users, epoch_pos, epoch_neg)
             )
             return params, opt_state, losses
 

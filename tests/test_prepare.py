@@ -335,3 +335,92 @@ def test_dirty_real_dump_lines_survive(tmp_path):
     # ones stay zero
     nonzero_rows = (np.abs(emb).sum(axis=1) > 0).sum()
     assert nonzero_rows == 1
+
+
+# ---------------------------------------------------------------------------
+# Synthetic regime knobs (latent taste model — multi-regime grids)
+# ---------------------------------------------------------------------------
+
+
+def test_synthetic_latent_informative_embeddings(tmp_path):
+    """emb_noise derives item_embeddings.npy from the true item factors:
+    low-noise embeddings must correlate with the factors far more than
+    high-noise ones (cosine against the best linear reconstruction)."""
+    from gcn_recommendation_tpu.data.synthetic import (
+        generate_interactions_latent,
+        informative_item_embeddings,
+    )
+
+    rng = np.random.default_rng(0)
+    _, _, lv = generate_interactions_latent(
+        rng, 200, 120, 8.0, 3, latent_dim=8, return_latents=True
+    )
+    assert lv.shape == (120, 8)
+    lo = informative_item_embeddings(np.random.default_rng(1), lv, 16, noise=0.1)
+    hi = informative_item_embeddings(np.random.default_rng(1), lv, 16, noise=50.0)
+    assert lo.shape == hi.shape == (120, 16)
+    # least-squares reconstruction residual of lv from the embeddings
+    def resid(e):
+        sol, *_ = np.linalg.lstsq(e, lv, rcond=None)
+        return float(np.linalg.norm(e @ sol - lv) / np.linalg.norm(lv))
+
+    # row normalization forfeits per-row scale, so recovery is not exact
+    # even at low noise — the point is the large gap vs the noise regime
+    assert resid(lo) < 0.45 < 0.8 < resid(hi)
+
+
+def test_synthetic_latent_brand_clusters(tmp_path):
+    """brand_style='latent' groups items whose factors are close: the
+    mean within-brand pairwise distance must undercut the global one."""
+    from gcn_recommendation_tpu.data.synthetic import (
+        generate_interactions_latent,
+        latent_cluster_brands,
+    )
+
+    rng = np.random.default_rng(0)
+    _, _, lv = generate_interactions_latent(
+        rng, 200, 150, 8.0, 3, latent_dim=6, return_latents=True
+    )
+    brands = latent_cluster_brands(np.random.default_rng(1), lv, 10)
+    assert brands.shape == (150,)
+    assert brands.min() >= 0 and brands.max() < 10
+
+    def mean_pairwise(x):
+        d = np.linalg.norm(x[:, None] - x[None, :], axis=-1)
+        return d[np.triu_indices(len(x), 1)].mean()
+
+    within = np.mean([
+        mean_pairwise(lv[brands == b])
+        for b in range(10)
+        if (brands == b).sum() >= 2
+    ])
+    assert within < 0.8 * mean_pairwise(lv)
+
+
+def test_synthetic_dataset_regime_knobs_roundtrip(tmp_path):
+    """generate_synthetic_dataset accepts the regime knobs and writes the
+    standard artifact set with an informative embedding matrix."""
+    from gcn_recommendation_tpu.data.synthetic import generate_synthetic_dataset
+
+    out = generate_synthetic_dataset(
+        str(tmp_path / "ds"),
+        num_users=150,
+        num_items=80,
+        num_brands=8,
+        mean_degree=8.0,
+        core=3,
+        seed=7,
+        embedding_dim=12,
+        style="latent",
+        latent_dim=6,
+        temperature=0.25,
+        emb_noise=0.3,
+        brand_style="latent",
+    )
+    for f in ("train.parquet", "test.parquet", "item_brand.parquet",
+              "stats.json", "item_embeddings.npy"):
+        assert os.path.exists(os.path.join(out, f)), f
+    emb = np.load(os.path.join(out, "item_embeddings.npy"))
+    assert emb.shape == (80, 12)
+    norms = np.linalg.norm(emb, axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)

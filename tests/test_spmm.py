@@ -355,3 +355,119 @@ def test_knee_rows_tile_model():
     assert num_chunks_for(720_000, 64, jnp.bfloat16) == 2
     # bench scale never chunks at any dim
     assert num_chunks_for(72_000, 256) == 1
+
+
+# ---------------------------------------------------------------------------
+# Fused merge-skip propagation (propagate_sum_ell)
+# ---------------------------------------------------------------------------
+
+
+def test_propagate_sum_ell_matches_dense_powers(graph_and_dense):
+    """The fused kernel computes sum_{k=1..K} A^k ego with ONE restore
+    gather; check against dense matrix powers."""
+    from gcn_recommendation_tpu.ops.spmm import propagate_sum_ell
+
+    g, dense = graph_and_dense
+    n = g.num_nodes
+    emb = np.random.default_rng(3).standard_normal((n, 16)).astype(np.float32)
+    dg = to_device_graph(g, fuse_layers=True)
+    assert len(dg.bucket_nbr_idx_perm) == len(dg.bucket_nbr_idx)
+    assert dg.dense_mat_perm is not None
+
+    want = np.zeros_like(emb)
+    x = emb
+    for _ in range(3):
+        x = dense @ x
+        want = want + x
+    got = propagate_sum_ell(
+        3, jnp.asarray(emb), dg.bucket_nbr_idx, dg.bucket_nbr_w,
+        dg.bucket_nbr_idx_perm, dg.gather_idx, dg.dense_mat,
+        dg.dense_mat_perm,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-5, atol=5e-5)
+
+
+def test_propagate_sum_ell_gradient_symmetric(graph_and_dense):
+    """bwd = the same fused kernel on the cotangent (sum_k A^k symmetric)."""
+    from gcn_recommendation_tpu.ops.spmm import propagate_sum_ell
+
+    g, dense = graph_and_dense
+    n = g.num_nodes
+    rng = np.random.default_rng(4)
+    emb = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    dg = to_device_graph(g, fuse_layers=True)
+
+    def loss(e):
+        out = propagate_sum_ell(
+            2, e, dg.bucket_nbr_idx, dg.bucket_nbr_w,
+            dg.bucket_nbr_idx_perm, dg.gather_idx, dg.dense_mat,
+            dg.dense_mat_perm,
+        )
+        return jnp.sum(out * w)
+
+    got = np.asarray(jax.grad(loss)(emb))
+    m = dense + dense @ dense
+    want = m.T @ np.asarray(w)  # = m @ w, m symmetric
+    np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-5)
+
+
+def test_model_apply_fused_matches_per_layer(tiny_bundle):
+    """LightGCN.apply picks the fused path when the graph carries the
+    permuted views; outputs must match the per-layer path."""
+    from gcn_recommendation_tpu.config import Config
+    from gcn_recommendation_tpu.models import get_model
+
+    bundle, _ = tiny_bundle
+    cfg = Config(embedding_dim=16, n_layers=3)
+    model = get_model("LightGCN")(
+        bundle.num_users, bundle.num_items, bundle.num_brands, cfg
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    dg_fused = to_device_graph(bundle.graph, fuse_layers=True)
+    dg_plain = to_device_graph(bundle.graph, fuse_layers=False)
+    out_f = model.apply(params, dg_fused)
+    out_p = model.apply(params, dg_plain)
+    for a, b in zip(out_f, out_p):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
+        )
+
+    # gradients agree too (training-path equivalence)
+    def loss_with(dg):
+        def f(p):
+            fu, fi, fb, u0, i0 = model.apply(p, dg)
+            return (
+                jnp.sum(fu[:4] * fi[:4]) + jnp.sum(fb) + 1e-3 * jnp.sum(u0 * u0)
+            )
+        return f
+
+    gf = jax.grad(loss_with(dg_fused))(params)
+    gp = jax.grad(loss_with(dg_plain))(params)
+    for k in gf:
+        np.testing.assert_allclose(
+            np.asarray(gf[k]), np.asarray(gp[k]), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_propagate_sum_ell_bf16_storage(graph_and_dense):
+    """bf16 compute dtype: parts tables bf16, f32 layer accumulator —
+    matches the f32 result within bf16 rounding."""
+    from gcn_recommendation_tpu.ops.spmm import propagate_sum_ell
+
+    g, dense = graph_and_dense
+    n = g.num_nodes
+    emb = np.random.default_rng(5).standard_normal((n, 8)).astype(np.float32)
+    dg16 = to_device_graph(g, compute_dtype=jnp.bfloat16, fuse_layers=True)
+    got = propagate_sum_ell(
+        2, jnp.asarray(emb, jnp.bfloat16), dg16.bucket_nbr_idx,
+        dg16.bucket_nbr_w, dg16.bucket_nbr_idx_perm, dg16.gather_idx,
+        dg16.dense_mat, dg16.dense_mat_perm,
+    )
+    assert got.dtype == jnp.float32  # f32 accumulator out
+    x = emb
+    want = np.zeros_like(emb)
+    for _ in range(2):
+        x = dense @ x
+        want = want + x
+    np.testing.assert_allclose(np.asarray(got), want, rtol=0.05, atol=0.05)
