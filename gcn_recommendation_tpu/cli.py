@@ -135,6 +135,10 @@ def build_parser() -> argparse.ArgumentParser:
     # in taste space)
     pr.add_argument("--latent_dim", type=int, default=16)
     pr.add_argument("--temperature", type=float, default=0.35)
+    pr.add_argument("--pop_scale", type=float, default=0.5,
+                    help="Popularity-bias scale (latent style) — high values "
+                         "concentrate taste on globally popular items "
+                         "(the dense steam-like regime).")
     pr.add_argument("--emb_noise", type=float, default=None,
                     help="If set (latent style), item_embeddings.npy is a "
                          "noisy projection of the true item factors instead "

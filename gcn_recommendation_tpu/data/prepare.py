@@ -438,6 +438,7 @@ def run_recipe(args) -> int:
             style=getattr(args, "style", "popularity"),
             latent_dim=getattr(args, "latent_dim", 16),
             temperature=getattr(args, "temperature", 0.35),
+            pop_scale=getattr(args, "pop_scale", 0.5),
             emb_noise=getattr(args, "emb_noise", None),
             brand_style=getattr(args, "brand_style", "random"),
         )

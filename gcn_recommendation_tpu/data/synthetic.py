@@ -35,6 +35,7 @@ def generate_interactions_latent(
     core: int,
     latent_dim: int = 16,
     temperature: float = 0.35,
+    pop_scale: float = 0.5,
     return_latents: bool = False,
 ):
     """Sample interactions from a latent-factor taste model.
@@ -57,7 +58,11 @@ def generate_interactions_latent(
     """
     lu = rng.standard_normal((num_users, latent_dim)) / np.sqrt(latent_dim)
     lv = rng.standard_normal((num_items, latent_dim)) / np.sqrt(latent_dim)
-    pop = 0.5 * rng.standard_normal(num_items)  # popularity bias
+    # popularity bias: ``pop_scale`` sets how much taste concentrates on
+    # globally popular items — the dense-catalog regime (steam-like, a few
+    # hugely popular titles everyone has) needs a high value, which is
+    # also what makes its leave-one-out recall band (~0.66) reachable
+    pop = pop_scale * rng.standard_normal(num_items)
     deg = np.maximum(
         core, rng.lognormal(np.log(mean_degree), 0.5, num_users)
     ).astype(np.int64)
@@ -172,6 +177,7 @@ def generate_synthetic_dataset(
     style: str = "popularity",
     latent_dim: int = 16,
     temperature: float = 0.35,
+    pop_scale: float = 0.5,
     emb_noise: Optional[float] = None,
     brand_style: str = "random",
 ) -> str:
@@ -194,7 +200,7 @@ def generate_synthetic_dataset(
         users, items, lv = generate_interactions_latent(
             rng, num_users, num_items, mean_degree, core,
             latent_dim=latent_dim, temperature=temperature,
-            return_latents=True,
+            pop_scale=pop_scale, return_latents=True,
         )
     else:
         users, items = generate_interactions(
@@ -266,6 +272,7 @@ def synthetic_bundle(
     style: str = "popularity",
     latent_dim: int = 16,
     temperature: float = 0.35,
+    pop_scale: float = 0.5,
 ):
     """Build a DataBundle fully in memory (no parquet round-trip).
 
@@ -286,6 +293,7 @@ def synthetic_bundle(
         users, items = generate_interactions_latent(
             rng, num_users, num_items, mean_degree, core,
             latent_dim=latent_dim, temperature=temperature,
+            pop_scale=pop_scale,
         )
     else:
         users, items = generate_interactions(

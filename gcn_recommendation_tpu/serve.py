@@ -139,13 +139,13 @@ class Retriever:
             self._f_ptr, self._f_items, users, fmax, self.num_items
         )
 
-    def recommend(
-        self,
-        user_ids,
-        k: int = 20,
-        filter_seen: bool = True,
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        """Return (scores, item_ids), each [len(user_ids), k]."""
+    def _dispatch(self, user_ids, k: int, filter_seen: bool):
+        """Enqueue one masked top-k dispatch; returns DEVICE arrays plus
+        the true request size.  JAX dispatch is asynchronous, so callers
+        may enqueue many of these before fetching any result — that is
+        what lets the pipelined/batched serving paths overlap the
+        per-call tunnel round trip (PERF.md "Serving latency": ~5 ms of
+        device compute under ~80-90 ms of RTT+dispatch)."""
         users = np.asarray(user_ids, dtype=np.int32)
         n_req = len(users)
         # pad the batch onto the shape ladder too (repeat user 0; sliced off)
@@ -172,4 +172,63 @@ class Retriever:
             vals, idx = _serve_topk_f32(
                 self.user_emb, users_d, self.item_emb, filt, k
             )
+        return vals, idx, n_req
+
+    def recommend(
+        self,
+        user_ids,
+        k: int = 20,
+        filter_seen: bool = True,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Return (scores, item_ids), each [len(user_ids), k]."""
+        vals, idx, n_req = self._dispatch(user_ids, k, filter_seen)
         return np.asarray(vals)[:n_req], np.asarray(idx)[:n_req]
+
+    def recommend_pipelined(
+        self,
+        requests,
+        k: int = 20,
+        filter_seen: bool = True,
+    ):
+        """Serve a list of independent requests, overlapping their device
+        round trips: every request is DISPATCHED before any result is
+        fetched, so the tunnel RTT is paid once per pipeline drain
+        instead of once per request.  Per-request latency is unchanged;
+        aggregate throughput approaches the device-compute bound
+        (tools/exp_serve.py publishes QPS vs pipeline depth).
+
+        ``requests``: iterable of user-id lists.  Returns a list of
+        (scores, item_ids) pairs in request order.
+        """
+        inflight = [self._dispatch(u, k, filter_seen) for u in requests]
+        return [
+            (np.asarray(v)[:n], np.asarray(i)[:n]) for v, i, n in inflight
+        ]
+
+    def recommend_many(
+        self,
+        requests,
+        k: int = 20,
+        filter_seen: bool = True,
+    ):
+        """Micro-batched serving: coalesce a list of requests into ONE
+        device dispatch (one user batch on the shape ladder), then split
+        the results back per request.  The highest-throughput path when
+        a frontend can accumulate requests for a few milliseconds —
+        amortizes the whole RTT + dispatch overhead across the batch.
+
+        ``requests``: iterable of user-id lists.  Returns a list of
+        (scores, item_ids) pairs in request order.
+        """
+        sizes = [len(np.atleast_1d(u)) for u in requests]
+        if not sizes:
+            return []
+        users = np.concatenate(
+            [np.atleast_1d(np.asarray(u, np.int32)) for u in requests]
+        )
+        vals, idx = self.recommend(users, k, filter_seen)
+        out, off = [], 0
+        for s in sizes:
+            out.append((vals[off : off + s], idx[off : off + s]))
+            off += s
+        return out

@@ -70,3 +70,45 @@ def test_recommend_batch_padding_roundtrip(retriever_setup):
     assert s3.shape == (3, 5) and i3.shape == (3, 5)
     np.testing.assert_array_equal(i3[0], i1[0])
     np.testing.assert_allclose(s3[0], s1[0], rtol=1e-6)
+
+
+def test_recommend_pipelined_matches_sequential(retriever_setup):
+    """Pipelined serving returns exactly what per-request calls return —
+    it only overlaps the dispatches."""
+    from gcn_recommendation_tpu.serve import Retriever
+
+    bundle, model, params = retriever_setup
+    r = Retriever.from_params(model, params, bundle)
+    reqs = [[1, 2, 3], [7], [5, 9, 11, 13, 2]]
+    piped = r.recommend_pipelined(reqs, k=5)
+    assert len(piped) == len(reqs)
+    for req, (vals, idx) in zip(reqs, piped):
+        sv, si = r.recommend(req, k=5)
+        assert vals.shape == (len(req), 5)
+        np.testing.assert_array_equal(idx, si)
+        np.testing.assert_allclose(vals, sv, rtol=1e-6)
+
+
+def test_recommend_many_matches_sequential(retriever_setup):
+    """Micro-batched serving (one dispatch for all requests) splits back
+    to the same per-request results."""
+    from gcn_recommendation_tpu.serve import Retriever
+
+    bundle, model, params = retriever_setup
+    r = Retriever.from_params(model, params, bundle)
+    reqs = [[4, 6], [8, 10, 12], [3]]
+    many = r.recommend_many(reqs, k=4)
+    assert len(many) == len(reqs)
+    for req, (vals, idx) in zip(reqs, many):
+        sv, si = r.recommend(req, k=4)
+        assert idx.shape == (len(req), 4)
+        np.testing.assert_array_equal(idx, si)
+        np.testing.assert_allclose(vals, sv, rtol=1e-6)
+
+
+def test_recommend_many_empty(retriever_setup):
+    from gcn_recommendation_tpu.serve import Retriever
+
+    bundle, model, params = retriever_setup
+    r = Retriever.from_params(model, params, bundle)
+    assert r.recommend_many([], k=5) == []

@@ -35,11 +35,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # regime is the existing exp_synth dataset, shown for reference)
 REGIMES = {
     "books": dict(num_users=10000, num_items=5000, num_brands=200,
-                  mean_degree=25.0, latent_dim=16, temperature=0.35),
+                  mean_degree=25.0, latent_dim=16, temperature=0.35,
+                  pop_scale=0.5),
+    # dense steam-like: popularity-concentrated taste.  pop_scale anchors
+    # the band — the popularity-only oracle measures R@20 ~0.64 host-side
+    # at this setting and LightGCN lands at 0.667 on the TPU (30-epoch
+    # calibration run), matching the reference exp/ band (best 0.662)
     "dense": dict(num_users=6000, num_items=2500, num_brands=100,
-                  mean_degree=50.0, latent_dim=8, temperature=0.18),
+                  mean_degree=50.0, latent_dim=8, temperature=0.18,
+                  pop_scale=1.0),
+    # weak-signal regime: TPU-calibrated to the reference exp_zno band
+    # (best R@20 0.058-0.062 across its duplicate runs) — temperature
+    # 0.40/dim 20 measures 0.057 at convergence (flat from epoch 5)
     "zno": dict(num_users=12000, num_items=8000, num_brands=300,
-                mean_degree=15.0, latent_dim=24, temperature=0.8),
+                mean_degree=15.0, latent_dim=20, temperature=0.40,
+                pop_scale=0.5),
 }
 
 
@@ -52,6 +62,7 @@ def main():
     ap.add_argument("--mean_degree", type=float, default=50.0)
     ap.add_argument("--latent_dim", type=int, default=8)
     ap.add_argument("--temperature", type=float, default=0.2)
+    ap.add_argument("--pop_scale", type=float, default=0.5)
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--val_interval", type=int, default=5)
     ap.add_argument("--seed", type=int, default=42)
@@ -87,6 +98,7 @@ def main():
         style="latent",
         latent_dim=args.latent_dim,
         temperature=args.temperature,
+        pop_scale=args.pop_scale,
     )
     print(
         f"bundle: users={bundle.num_users} items={bundle.num_items} "

@@ -80,6 +80,44 @@ def main() -> int:
             f"{per_req_ms:7.2f} ms / {args.batch}-user request  "
             f"{qps:10,.0f} users/s  (k={args.k}, {args.items} items)"
         )
+
+    # --- past the tunnel RTT: pipelined and micro-batched request APIs ---
+    # Sequential per-request serving is RTT-bound (~5 ms device compute
+    # under ~80-90 ms round trip).  recommend_pipelined dispatches D
+    # requests before fetching any result (overlapped RTTs);
+    # recommend_many coalesces M requests into one dispatch.
+    r = Retriever.from_params(model, params, bundle)
+    r.recommend(batches[0], k=args.k)  # warm
+    print("\npipelined (depth = requests in flight before any fetch):")
+    for depth in (1, 4, 16, 64):
+        reqs = [
+            rng.integers(0, args.users, args.batch).astype(np.int32)
+            for _ in range(depth)
+        ]
+        r.recommend_pipelined(reqs, k=args.k)  # warm any new shapes
+        t0 = time.perf_counter()
+        out = r.recommend_pipelined(reqs, k=args.k)
+        dt = time.perf_counter() - t0
+        assert len(out) == depth
+        print(
+            f"  depth {depth:3d}: {dt / depth * 1e3:7.2f} ms/req amortized "
+            f"{depth * args.batch / dt:10,.0f} users/s"
+        )
+    print("micro-batched (M requests coalesced into one dispatch):")
+    for m in (1, 4, 16, 64):
+        reqs = [
+            rng.integers(0, args.users, args.batch).astype(np.int32)
+            for _ in range(m)
+        ]
+        r.recommend_many(reqs, k=args.k)  # warm the coalesced shape
+        t0 = time.perf_counter()
+        out = r.recommend_many(reqs, k=args.k)
+        dt = time.perf_counter() - t0
+        assert len(out) == m and out[0][1].shape == (args.batch, args.k)
+        print(
+            f"  M = {m:3d}: {dt / m * 1e3:7.2f} ms/req amortized "
+            f"{m * args.batch / dt:10,.0f} users/s"
+        )
     return 0
 
 

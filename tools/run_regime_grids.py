@@ -75,6 +75,7 @@ def generate(regime: str, core: int = 16, seed: int = 42) -> str:
         style="latent",
         latent_dim=spec["latent_dim"],
         temperature=spec["temperature"],
+        pop_scale=spec.get("pop_scale", 0.5),
         emb_noise=EMB_NOISE[regime],
         brand_style=BRAND_STYLE,
     )
