@@ -129,10 +129,16 @@ def _write_layout(path: str) -> None:
         "layout": "sharded" if _multiprocess() else "logical",
         "process_count": int(jax.process_count()),
     }
-    tmp = _layout_sidecar(path) + ".tmp"
+    # the sidecar is written synchronously while the Orbax save is still
+    # ASYNC — on the very first save of a run the checkpoint dir may not
+    # exist yet (observed as a FileNotFoundError race in the round-3
+    # regime-grid run), so create it here
+    sidecar = _layout_sidecar(path)
+    os.makedirs(os.path.dirname(sidecar) or ".", exist_ok=True)
+    tmp = sidecar + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)
-    os.replace(tmp, _layout_sidecar(path))
+    os.replace(tmp, sidecar)
 
 
 def _check_layout(path: str) -> None:

@@ -27,6 +27,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE = "/root/reference"
 sys.path.insert(0, REPO)
 
+# allow running while another process holds the axon TPU tunnel (the env
+# var alone is ignored by the plugin — jax.config works, same as tests)
+_forced = os.environ.get("GCN_TPU_FORCE_PLATFORM")
+if _forced:
+    import jax
+
+    jax.config.update("jax_platforms", _forced)
+
 
 def generate(workdir: str, core: int, seed: int, embedding_dim=None) -> str:
     from gcn_recommendation_tpu.data.synthetic import generate_synthetic_dataset

@@ -49,14 +49,31 @@ def read_runs(exp_dir: str) -> pd.DataFrame:
             continue
         best = df.loc[df["recall"].idxmax()]
         final = df.iloc[-1]
+        best_r = float(best["recall"])
+        final_r = float(final["recall"])
+        last_epoch = int(final["epoch"])
+        # curve-shape label: where the best sits and whether the curve
+        # holds it (the reference's Fusion runs peak early then collapse;
+        # its base runs climb to a late best and hold)
+        pos = int(best["epoch"]) / max(1, last_epoch)
+        hold = final_r / best_r if best_r > 0 else 1.0
+        if hold < 0.8:
+            shape = "peak-then-collapse"
+        elif pos >= 0.6:
+            shape = "late-climb"
+        elif pos <= 0.25:
+            shape = "early-plateau"
+        else:
+            shape = "mid-plateau"
         rows.append(
             dict(
                 code=code,
-                best_recall=float(best["recall"]),
+                best_recall=best_r,
                 best_ndcg=float(best["ndcg"]),
                 best_epoch=int(best["epoch"]),
-                final_recall=float(final["recall"]),
+                final_recall=final_r,
                 final_ndcg=float(final["ndcg"]),
+                shape=shape,
             )
         )
     return pd.DataFrame(rows)
@@ -95,13 +112,14 @@ def fmt_table(df: pd.DataFrame) -> str:
     if df.empty:
         return "_(no runs found)_\n"
     lines = [
-        "| code | best R@20 (ep) | best N@20 | final R / N |",
-        "|---|---|---|---|",
+        "| code | best R@20 (ep) | best N@20 | final R / N | curve shape |",
+        "|---|---|---|---|---|",
     ]
     for r in df.sort_values("code").itertuples():
         lines.append(
             f"| `{r.code}` | {r.best_recall:.4f} (ep{r.best_epoch}) | "
-            f"{r.best_ndcg:.4f} | {r.final_recall:.4f} / {r.final_ndcg:.4f} |"
+            f"{r.best_ndcg:.4f} | {r.final_recall:.4f} / {r.final_ndcg:.4f} | "
+            f"{r.shape} |"
         )
     return "\n".join(lines) + "\n"
 
