@@ -129,7 +129,11 @@ def latent_cluster_brands(
     centers = lv[rng.choice(n, size=min(num_brands, n), replace=False)]
     assign = np.zeros(n, np.int32)
     for _ in range(5):
-        d2 = ((lv[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        # ||a-b||^2 = ||a||^2 - 2ab + ||b||^2 via one [n,k] matmul —
+        # the naive [n, k, d] broadcast is ~n*k*d*8 bytes of host RAM
+        # per Lloyd iteration (round-3 ADVICE.md: ~12 GB at 100k items
+        # x 1000 brands x 16 dims); argmin ignores the constant ||a||^2
+        d2 = (centers * centers).sum(-1)[None, :] - 2.0 * (lv @ centers.T)
         assign = d2.argmin(1).astype(np.int32)
         for b in range(centers.shape[0]):
             m = assign == b

@@ -366,20 +366,28 @@ def num_chunks_for(
 
 
 def to_device_graph_auto(
-    g: Graph, compute_dtype=jnp.float32, dense_dtype=None, embedding_dim: int = 64
+    g: Graph, compute_dtype=jnp.float32, dense_dtype=None, embedding_dim: int = 64,
+    fuse_layers: bool = True,
 ):
     """Plain or source-chunked device graph by the gather-knee rule.
 
     Single-device entry points (trainer, test mode, serving) share this
     so a big graph propagates at the fast chunked rate everywhere; the
     sharded trainers keep the plain layout (row-sharding already puts
-    each device's shard under the knee)."""
+    each device's shard under the knee).  ``fuse_layers=False`` skips
+    the merge-skip permuted views (~2x graph HBM: the hub-dense matrix
+    resident in both column orders plus duplicated bucket indices) —
+    right for one-shot propagation like serving load (round-3
+    ADVICE.md)."""
     n_chunks = num_chunks_for(g.num_nodes, embedding_dim, compute_dtype)
     if n_chunks > 1:
         return to_device_chunked_graph(
             g, n_chunks, compute_dtype=compute_dtype, dense_dtype=dense_dtype
         )
-    return to_device_graph(g, compute_dtype=compute_dtype, dense_dtype=dense_dtype)
+    return to_device_graph(
+        g, compute_dtype=compute_dtype, dense_dtype=dense_dtype,
+        fuse_layers=fuse_layers,
+    )
 
 
 class ChunkedDeviceGraph(NamedTuple):

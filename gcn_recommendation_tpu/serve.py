@@ -117,6 +117,9 @@ class Retriever:
             bundle.graph,
             compute_dtype=jnp.dtype(getattr(model, "compute_dtype", "float32")),
             embedding_dim=getattr(model, "embedding_dim", 64),
+            # serving propagates exactly once at load time — skip the
+            # merge-skip permuted views and their ~2x graph residency
+            fuse_layers=False,
         )
         fu, fi, *_ = model.apply(params, graph)
         return cls(fu, fi, bundle, quantize=quantize, mesh=mesh)

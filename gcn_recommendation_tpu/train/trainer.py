@@ -81,6 +81,14 @@ class Trainer:
     # decomposition"): single-device only — the GSPMD path keeps the
     # per-layer kernel whose sharding behavior is measured and tested.
     graph_fuse_layers = True
+    # Epoch-level negative presampling materializes [steps, batch, 6]
+    # int32 candidates plus same-shape binary-search temporaries inside
+    # the donated epoch jit (~96 B/example transient).  Above this many
+    # examples/epoch (~400 MB transient) fall back to in-step sampling,
+    # whose sampler state is [batch]-sized, so peak HBM stays bounded on
+    # huge graphs (round-3 ADVICE.md, medium).  Same distribution either
+    # way; only the RNG stream differs, and only on the large path.
+    epoch_presample_max_examples = 4_000_000
 
     def __init__(self, config, model, bundle: DataBundle, logger: Optional[Logger] = None):
         self.config = config
@@ -217,6 +225,9 @@ class Trainer:
     def _build_epoch_fn(self):
         cfg = self.config
         n_steps = self.steps_per_epoch
+        presample = (
+            n_steps * cfg.batch_size <= self.epoch_presample_max_examples
+        )
 
         donate = (0, 1) if getattr(cfg, "donate_state", True) else ()
 
@@ -233,30 +244,48 @@ class Trainer:
             # depth (log2(max_deg) dependent micro-ops) over the whole
             # epoch — measured ~0.8 ms/step at bench scale
             # (tools/exp_step_profile.py: 1.09 ms in-step vs the
-            # whole-epoch pass).  Distribution unchanged.
+            # whole-epoch pass).  Distribution unchanged.  Past the
+            # presample threshold (class attr above) negatives are drawn
+            # in-step instead, bounding sampler memory at [batch].
             epoch_users = jnp.take(arrays.train_users, batches)
             epoch_pos = jnp.take(arrays.train_items, batches)
-            epoch_neg = sample_negatives(
-                neg_key,
-                epoch_users,
-                arrays.user_ptr,
-                arrays.flat_items,
-                num_items=self.bundle.num_items,
-                n_iters=self.sampler_iters,
-            )
-
-            def body(carry, step_data):
-                params, opt_state, key = carry
-                users, pos, neg = step_data
-                key, k1 = jax.random.split(key)
-                params, opt_state, loss = self._train_step(
-                    params, opt_state, k1, arrays, users, pos, neg
+            if presample:
+                epoch_neg = sample_negatives(
+                    neg_key,
+                    epoch_users,
+                    arrays.user_ptr,
+                    arrays.flat_items,
+                    num_items=self.bundle.num_items,
+                    n_iters=self.sampler_iters,
                 )
-                return (params, opt_state, key), loss
 
-            (params, opt_state, _), losses = jax.lax.scan(
-                body, (params, opt_state, key), (epoch_users, epoch_pos, epoch_neg)
-            )
+                def body(carry, step_data):
+                    params, opt_state, key = carry
+                    users, pos, neg = step_data
+                    key, k1 = jax.random.split(key)
+                    params, opt_state, loss = self._train_step(
+                        params, opt_state, k1, arrays, users, pos, neg
+                    )
+                    return (params, opt_state, key), loss
+
+                (params, opt_state, _), losses = jax.lax.scan(
+                    body, (params, opt_state, key),
+                    (epoch_users, epoch_pos, epoch_neg),
+                )
+            else:
+
+                def body(carry, step_data):
+                    params, opt_state, key = carry
+                    users, pos = step_data
+                    key, k1 = jax.random.split(key)
+                    params, opt_state, loss = self._train_step(
+                        params, opt_state, k1, arrays, users, pos
+                    )
+                    return (params, opt_state, key), loss
+
+                (params, opt_state, _), losses = jax.lax.scan(
+                    body, (params, opt_state, key), (epoch_users, epoch_pos)
+                )
             return params, opt_state, losses
 
         return run_epoch
