@@ -58,6 +58,27 @@ def test_quantized_retriever_agrees_with_f32(retriever_setup):
     assert overlap > 0.85, overlap
 
 
+def test_sharded_int8_matches_single_device_int8(retriever_setup):
+    """Round-3 VERDICT #7: the int8 catalog composes with the item-sharded
+    mesh — per-shard int8 scoring + all-gather merge must reproduce the
+    single-device int8 kernel (integer accumulation is exact, so only
+    tie order could differ)."""
+    from gcn_recommendation_tpu.core.mesh import MeshSpec, create_mesh
+
+    bundle, model, params = retriever_setup
+    mesh = create_mesh(MeshSpec(data=1, model=8))
+    r1 = Retriever.from_params(model, params, bundle, quantize=True)
+    rm = Retriever.from_params(model, params, bundle, quantize=True, mesh=mesh)
+    assert rm.item_q.sharding.spec[0] == "model"
+    assert rm.item_scale.sharding.spec[0] == "model"
+    users = np.unique(bundle.train.user_idx)[:16]
+    for filter_seen in (True, False):
+        s1, i1 = r1.recommend(users, k=10, filter_seen=filter_seen)
+        sm, im = rm.recommend(users, k=10, filter_seen=filter_seen)
+        np.testing.assert_array_equal(i1, im)
+        np.testing.assert_allclose(s1, sm, rtol=1e-6)
+
+
 def test_recommend_batch_padding_roundtrip(retriever_setup):
     """Serving pads requests onto a (batch, filter-width) shape ladder;
     results must be identical for the same users regardless of how many

@@ -47,6 +47,36 @@ def test_loss_decreases_and_recall_beats_random(trainer):
     assert 0.0 < ndcg <= recall
 
 
+def test_in_step_sampling_fallback_trains(tiny_bundle, tmp_path):
+    """Past epoch_presample_max_examples the epoch fn samples negatives
+    in-step (bounded sampler memory, round-3 ADVICE); training must
+    still converge — same distribution, different RNG stream."""
+    bundle, _ = tiny_bundle
+    cfg = Config(
+        embedding_dim=16, n_layers=2, epochs=4, batch_size=256,
+        val_interval=4, dataset="synthetic",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        results_dir=str(tmp_path / "results"),
+    )
+    model = get_model("LightGCN")(
+        bundle.num_users, bundle.num_items, bundle.num_brands, cfg
+    )
+    tr = Trainer(cfg, model, bundle)
+    tr.epoch_presample_max_examples = 0  # force the in-step path
+    tr._epoch_fn_jit = tr._build_epoch_fn()
+    params, opt_state = tr.init_state(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    first = None
+    for _ in range(4):
+        key, ek = jax.random.split(key)
+        params, opt_state, losses = tr._epoch_fn(params, opt_state, ek)
+        if first is None:
+            first = np.asarray(losses)
+    last = np.asarray(losses)
+    assert np.isfinite(last).all()
+    assert last.mean() < first.mean()
+
+
 def test_fit_checkpoint_and_resume(trainer, tmp_path):
     params, best = trainer.fit()
     assert best > 0.0

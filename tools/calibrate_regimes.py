@@ -57,6 +57,14 @@ REGIMES = {
     "zno": dict(num_users=12000, num_items=8000, num_brands=300,
                 mean_degree=15.0, latent_dim=20, temperature=0.40,
                 pop_scale=0.5),
+    # sparse sport regime: the reference exp_sport/ commits exactly ONE
+    # run (Fusion, best R@20 0.0499 at ep25 decaying to 0.0447) —
+    # calibrated round 4 to land the Fusion run in that band with the
+    # same early-best mild-decay shape; slightly sparser/noisier than
+    # zno (larger catalog, higher temperature)
+    "sport": dict(num_users=12000, num_items=10000, num_brands=300,
+                  mean_degree=13.0, latent_dim=20, temperature=0.44,
+                  pop_scale=0.5),
 }
 
 

@@ -31,6 +31,7 @@ REFERENCE = "/root/reference"
 REGIME_MAP = [
     ("exp_synth_dense", "exp", "dense catalog (R@20 ~0.66 band)"),
     ("exp_synth", "exp_books", "sparse books (R@20 ~0.09 band)"),
+    ("exp_synth_sport", "exp_sport", "sparse sport (Fusion ~0.05 band)"),
     ("exp_synth_zno", "exp_zno", "weak signal (R@20 ~0.06 band)"),
 ]
 

@@ -43,7 +43,9 @@ from tools.calibrate_regimes import REGIMES  # noqa: E402
 #                  (best 0.625 vs 0.662, final collapse to 0.536) — the
 #                  content signal adds nothing there, so noise is high;
 #   zno (exp_zno/): no emb/fus reference runs exist; weakly informative.
-EMB_NOISE = {"dense": 3.0, "zno": 1.5}
+#   sport (exp_sport/): the only reference run IS a Fusion run in the
+#                  0.045-0.05 band — weakly informative content.
+EMB_NOISE = {"dense": 3.0, "zno": 1.5, "sport": 1.5}
 # Brand assignment stays random in both regimes: every reference dataset
 # shows |brand - no_brand| < 0.001 best-R@20 (within its own duplicate
 # -run variance band), which uncorrelated brands reproduce; latent
@@ -85,8 +87,8 @@ def generate(regime: str, core: int = 16, seed: int = 42) -> str:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--regime", choices=["dense", "zno"], default=None,
-                    help="Default: both.")
+    ap.add_argument("--regime", choices=["dense", "zno", "sport"],
+                    default=None, help="Default: dense+zno.")
     ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--core", type=int, default=16)
     ap.add_argument("--seed", type=int, default=42)
