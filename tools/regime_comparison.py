@@ -109,6 +109,22 @@ def orderings(df: pd.DataFrame) -> dict:
     return out
 
 
+def duplicate_spread(df: pd.DataFrame) -> float:
+    """Run-to-run variance band measured from the regime's own
+    duplicate-config runs (``lase_*`` = same hyperparameters as
+    ``base_*``, different RNG — the reference's exp_zno pairs and our
+    seed-43 reruns).  Returns the max |lase - base| over available
+    pairs, or 0.0 when the regime has none."""
+    best = {(r.code.split("_", 1)[0], _suffix(r.code)): r.best_recall
+            for r in df.itertuples()}
+    spreads = [
+        abs(best[("lase", sfx)] - best[("base", sfx)])
+        for sfx in ("brd", "nob")
+        if ("lase", sfx) in best and ("base", sfx) in best
+    ]
+    return max(spreads) if spreads else 0.0
+
+
 def fmt_table(df: pd.DataFrame) -> str:
     if df.empty:
         return "_(no runs found)_\n"
@@ -125,7 +141,7 @@ def fmt_table(df: pd.DataFrame) -> str:
     return "\n".join(lines) + "\n"
 
 
-def fmt_orderings(ours: dict, refs: dict) -> str:
+def fmt_orderings(ours: dict, refs: dict, band: float = 3e-3) -> str:
     keys = ["brand_delta", "emb_uplift", "fus_vs_emb", "fus_uplift"]
     names = {
         "brand_delta": "brand vs no-brand (best R@20 delta)",
@@ -144,16 +160,19 @@ def fmt_orderings(ours: dict, refs: dict) -> str:
         r = refs.get(k)
         same = "—"
         if o is not None and r is not None:
-            # treat |delta| < 0.003 as "≈0" (run-to-run variance band of the
-            # reference's own duplicate runs, SURVEY.md §4)
+            # deltas inside the duplicate-run variance band count as "≈0"
             def sgn(x):
-                return 0 if abs(x) < 3e-3 else (1 if x > 0 else -1)
+                return 0 if abs(x) < band else (1 if x > 0 else -1)
 
             same = "yes" if sgn(o) == sgn(r) else "NO"
         fo = f"{o:+.4f}" if o is not None else "—"
         fr = f"{r:+.4f}" if r is not None else "—"
         lines.append(f"| {names[k]} | {fo} | {fr} | {same} |")
-    return "\n".join(lines) + "\n"
+    lines.append(
+        f"\n(sign band ±{band:.4f} = the larger of 0.003 and the regime's "
+        "measured duplicate-run spread, see lase_* runs)\n"
+    )
+    return "\n".join(lines)
 
 
 def main():
@@ -181,7 +200,8 @@ def main():
         out.append(f"\n### Reference ({ref_dir})\n")
         out.append(fmt_table(ref))
         out.append("\n### Variant orderings\n")
-        out.append(fmt_orderings(orderings(ours), orderings(ref)))
+        band = max(3e-3, duplicate_spread(ours), duplicate_spread(ref))
+        out.append(fmt_orderings(orderings(ours), orderings(ref), band=band))
 
     text = "\n".join(out)
     if args.stdout:

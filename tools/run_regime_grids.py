@@ -60,7 +60,8 @@ def dataset_dir(regime: str, core: int = 16) -> str:
     )
 
 
-def generate(regime: str, core: int = 16, seed: int = 42) -> str:
+def generate(regime: str, core: int = 16, seed: int = 42,
+             emb_noise: float = None) -> str:
     from gcn_recommendation_tpu.data.synthetic import generate_synthetic_dataset
 
     spec = REGIMES[regime]
@@ -78,7 +79,7 @@ def generate(regime: str, core: int = 16, seed: int = 42) -> str:
         latent_dim=spec["latent_dim"],
         temperature=spec["temperature"],
         pop_scale=spec.get("pop_scale", 0.5),
-        emb_noise=EMB_NOISE[regime],
+        emb_noise=EMB_NOISE[regime] if emb_noise is None else emb_noise,
         brand_style=BRAND_STYLE,
     )
     print(f"[{regime}] dataset written to {out}", flush=True)
@@ -95,11 +96,16 @@ def main():
     ap.add_argument("--grids", type=str, default="base,loss,lase",
                     help="Passed through to run_experiments.py.")
     ap.add_argument("--only", type=str, default=None)
+    ap.add_argument("--emb_noise", type=float, default=None,
+                    help="Override the regime's content-embedding noise "
+                         "(interactions are unaffected — base codes stay "
+                         "valid across emb_noise settings).")
     args = ap.parse_args()
 
     regimes = [args.regime] if args.regime else ["dense", "zno"]
     for regime in regimes:
-        processed = generate(regime, core=args.core, seed=args.seed)
+        processed = generate(regime, core=args.core, seed=args.seed,
+                             emb_noise=args.emb_noise)
 
         def run_grid(grids: str, only, seed: int):
             cmd = [
