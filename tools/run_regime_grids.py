@@ -45,7 +45,13 @@ from tools.calibrate_regimes import REGIMES  # noqa: E402
 #   zno (exp_zno/): no emb/fus reference runs exist; weakly informative.
 #   sport (exp_sport/): the only reference run IS a Fusion run in the
 #                  0.045-0.05 band — weakly informative content.
-EMB_NOISE = {"dense": 3.0, "zno": 1.5, "sport": 1.5}
+#   books (exp_synth/): round-4 TPU probes at noise {1.0, 0.5, 0.2}:
+#                  emb uplift +0.0035/+0.0027/+0.0056 (reference
+#                  +0.0085) — 0.2 chosen; fus peaks ≈ emb then
+#                  collapses at this dataset scale (fusion-layer
+#                  overfit), unlike the reference's held fus > emb —
+#                  documented in REGIMES.md rather than tuned away.
+EMB_NOISE = {"dense": 3.0, "zno": 1.5, "sport": 1.5, "books": 0.2}
 # Brand assignment stays random in both regimes: every reference dataset
 # shows |brand - no_brand| < 0.001 best-R@20 (within its own duplicate
 # -run variance band), which uncorrelated brands reproduce; latent
@@ -55,9 +61,10 @@ BRAND_STYLE = "random"
 
 
 def dataset_dir(regime: str, core: int = 16) -> str:
-    return os.path.join(
-        REPO, "dataset", f"synthetic_{regime}", f"processed_data_{core}"
-    )
+    # the books regime predates this driver; its grid (exp_synth/) was
+    # run against dataset/synthetic_grid (see exp_synth/README.md)
+    name = "synthetic_grid" if regime == "books" else f"synthetic_{regime}"
+    return os.path.join(REPO, "dataset", name, f"processed_data_{core}")
 
 
 def generate(regime: str, core: int = 16, seed: int = 42,
@@ -88,7 +95,7 @@ def generate(regime: str, core: int = 16, seed: int = 42,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--regime", choices=["dense", "zno", "sport"],
+    ap.add_argument("--regime", choices=["dense", "zno", "sport", "books"],
                     default=None, help="Default: dense+zno.")
     ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--core", type=int, default=16)
