@@ -42,6 +42,15 @@ LAYERS = 3
 SCAN_STEPS = 60      # steps per timed dispatch
 TIMED_REPS = 3
 TORCH_STEPS = 5
+TORCH_REPS = 3       # best-of-N medians — resilient to host-load noise
+TORCH_THREADS = 2    # pinned: this host has 2 vCPUs; a floating thread
+                     # count swung the baseline ~4x across rounds
+# Recorded torch-CPU baseline for this exact workload under the pinned
+# protocol above (measured 2026-08-21 on the round-4 host, best of 3
+# medians).  ``vs_recorded_baseline`` uses this constant so the headline
+# ratio is comparable across rounds even if the live baseline run hits
+# background load; the live-measured ratio is still reported.
+RECORDED_TORCH_BASELINE = 1786.0  # ex/s; consecutive trials 1712/1786 (4%)
 
 
 def build_bundle():
@@ -161,9 +170,15 @@ def bench_jax(bundle):
 
 def bench_torch_reference(bundle):
     """Reference-equivalent train step in torch (CPU): COO sparse.mm
-    propagation x3, mean of layers, BPR + L2, Adam — the main.py hot loop."""
+    propagation x3, mean of layers, BPR + L2, Adam — the main.py hot loop.
+
+    Protocol pinned for cross-round comparability (round-3 VERDICT #6):
+    fixed thread count, ``TORCH_REPS`` independent repetitions, each
+    scored by its median post-warmup step, best-of taken (least
+    background interference)."""
     import torch
 
+    torch.set_num_threads(TORCH_THREADS)
     g = bundle.graph
     n = g.num_nodes
     idx = torch.tensor(
@@ -177,28 +192,31 @@ def bench_torch_reference(bundle):
     rng = np.random.default_rng(0)
     nu, ni = bundle.num_users, bundle.num_items
 
-    step_times = []
-    for s in range(TORCH_STEPS + 1):  # first step warms allocator/caches
-        b = rng.integers(0, len(bundle.train), BATCH)
-        users = torch.tensor(bundle.train.user_idx[b].astype(np.int64))
-        pos = torch.tensor(bundle.train.item_idx[b].astype(np.int64)) + nu
-        neg = torch.tensor(rng.integers(0, ni, BATCH) + nu)
-        t0 = time.perf_counter()
-        opt.zero_grad()
-        e = emb
-        acc = emb
-        for _ in range(LAYERS):
-            e = torch.sparse.mm(adj, e)
-            acc = acc + e
-        final = acc / (LAYERS + 1)
-        fu, fp, fn_ = final[users], final[pos], final[neg]
-        bpr = -torch.mean(torch.log(torch.sigmoid((fu * fp).sum(1) - (fu * fn_).sum(1)) + 1e-8))
-        reg = 1e-4 * (emb[users].norm(2).pow(2) + emb[pos].norm(2).pow(2) + emb[neg].norm(2).pow(2)) / BATCH
-        (bpr + reg).backward()
-        opt.step()
-        step_times.append(time.perf_counter() - t0)
-    # median step after warmup — resilient to background-load noise
-    return BATCH / float(np.median(step_times[1:]))
+    rep_rates = []
+    for rep in range(TORCH_REPS):
+        step_times = []
+        for s in range(TORCH_STEPS + 1):  # first step warms allocator/caches
+            b = rng.integers(0, len(bundle.train), BATCH)
+            users = torch.tensor(bundle.train.user_idx[b].astype(np.int64))
+            pos = torch.tensor(bundle.train.item_idx[b].astype(np.int64)) + nu
+            neg = torch.tensor(rng.integers(0, ni, BATCH) + nu)
+            t0 = time.perf_counter()
+            opt.zero_grad()
+            e = emb
+            acc = emb
+            for _ in range(LAYERS):
+                e = torch.sparse.mm(adj, e)
+                acc = acc + e
+            final = acc / (LAYERS + 1)
+            fu, fp, fn_ = final[users], final[pos], final[neg]
+            bpr = -torch.mean(torch.log(torch.sigmoid((fu * fp).sum(1) - (fu * fn_).sum(1)) + 1e-8))
+            reg = 1e-4 * (emb[users].norm(2).pow(2) + emb[pos].norm(2).pow(2) + emb[neg].norm(2).pow(2)) / BATCH
+            (bpr + reg).backward()
+            opt.step()
+            step_times.append(time.perf_counter() - t0)
+        # median step after warmup within the rep; best rep across reps
+        rep_rates.append(BATCH / float(np.median(step_times[1:])))
+    return max(rep_rates)
 
 
 def main():
@@ -219,6 +237,11 @@ def main():
         sys.stderr.write(f"torch baseline failed: {e}\n")
         baseline = None
     vs = (train_ex_per_s / baseline) if baseline else 1.0
+    vs_recorded = (
+        round(train_ex_per_s / RECORDED_TORCH_BASELINE, 3)
+        if RECORDED_TORCH_BASELINE
+        else None
+    )
     print(
         json.dumps(
             {
@@ -226,6 +249,11 @@ def main():
                 "value": round(train_ex_per_s, 1),
                 "unit": "examples/sec/chip",
                 "vs_baseline": round(vs, 3),
+                # pinned-protocol comparators (round-3 VERDICT #6): the
+                # live torch measurement under fixed threads/best-of-N,
+                # plus the ratio against the recorded constant above
+                "torch_baseline_ex_per_s": round(baseline, 1) if baseline else None,
+                "vs_recorded_baseline": vs_recorded,
                 # retrieval: the honest figure is the masked end-to-end
                 # evaluator (real per-user filter widths + metric
                 # reduction); the unmasked QPS is a kernel upper bound

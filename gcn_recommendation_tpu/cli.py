@@ -108,7 +108,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Top-k size (default: config top_k).")
     rc.add_argument("--int8", action="store_true",
                     help="Serve from the int8-quantized item catalog (Pallas "
-                         "stochastic-rounding quantizer; ~98%% top-20 agreement).")
+                         "stochastic-rounding quantizer; ~98%% top-20 "
+                         "agreement).  Composes with --mesh: the int8 table "
+                         "is row-sharded and scored per item shard.")
     rc.add_argument("--include_seen", action="store_true",
                     help="Do not filter the user's train-seen items.")
 
@@ -400,9 +402,6 @@ def run_recommend(args) -> int:
 
     params = _restore_best_params(config, args, model)
     mesh = _build_mesh(args)
-    if mesh is not None and args.int8:
-        raise ValueError("--int8 and --mesh are mutually exclusive "
-                         "(the int8 score kernel is single-device)")
     retriever = Retriever.from_params(
         model, params, bundle, quantize=args.int8, mesh=mesh
     )

@@ -253,9 +253,20 @@ def _local_masked_topk(
     catalog size) — if the total unmasked candidates across shards are
     fewer than k, the merged top-k must not fabricate real item ids.
     """
+    scores = jnp.dot(u_emb, item_shard.T, preferred_element_type=jnp.float32)
+    return _mask_local_topk(
+        scores, filter_idx, k, shard_items, axis, num_valid_items
+    )
+
+
+def _mask_local_topk(
+    scores, filter_idx, k, shard_items, axis, num_valid_items=None
+):
+    """Shard-local pad-masking + filter translation + top-k + sentinel
+    padding, shared by the f32 and int8 scoring paths (the docstring
+    above describes the semantics)."""
     idx = jax.lax.axis_index(axis)
     offset = idx * shard_items
-    scores = jnp.dot(u_emb, item_shard.T, preferred_element_type=jnp.float32)
     if num_valid_items is not None:
         col_global = offset + jnp.arange(shard_items, dtype=jnp.int32)
         scores = jnp.where(col_global[None, :] >= num_valid_items, MASK_VALUE, scores)
@@ -332,6 +343,57 @@ def sharded_topk_eval_batch(
         return merge_topk_candidates(all_vals, all_idx, k)
 
     return run(user_emb_batch, item_emb, filter_idx)
+
+
+def sharded_quantized_topk_batch(
+    mesh: Mesh,
+    user_emb_batch: jax.Array,  # [B, d] f32, replicated
+    item_q: jax.Array,          # [I_pad, d] int8, row-sharded over model axis
+    item_scale: jax.Array,      # [I_pad, 1] f32, row-sharded over model axis
+    filter_idx: jax.Array,      # [B, F] global item ids (pad >= I)
+    k: int,
+    num_valid_items: Optional[int] = None,
+):
+    """Distributed masked top-k over an int8 catalog: per-shard MXU
+    int8 x int8 -> s32 scoring (ops/quant.py::quantized_topk_scores
+    semantics) + the same local-top-k / all-gather merge as
+    sharded_topk_eval_batch — so catalogs too large for one chip still
+    get the 4x int8 footprint win (round-3 VERDICT #7).
+
+    The user batch is replicated, so every shard quantizes it to the
+    identical int8 tensor; per-shard scores therefore equal the
+    single-device kernel's columns exactly (integer accumulation).
+    """
+    n_model = mesh.shape[MODEL_AXIS]
+    i_pad = item_q.shape[0]
+    assert i_pad % n_model == 0, "pad the item table to the model-axis size"
+    shard_items = i_pad // n_model
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(MODEL_AXIS, None), P(MODEL_AXIS, None), P()),
+        out_specs=(P(), P()),
+        check_vma=False,  # post-all_gather merge is replicated (see above)
+    )
+    def run(u_emb, q_shard, scale_shard, filt):
+        u_absmax = jnp.max(jnp.abs(u_emb), axis=1, keepdims=True)
+        u_scale = jnp.maximum(u_absmax, 1e-12) / 127.0
+        u_q = jnp.clip(jnp.round(u_emb / u_scale), -127, 127).astype(jnp.int8)
+        s32 = jax.lax.dot_general(
+            u_q, q_shard, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        scores = s32.astype(jnp.float32) * u_scale * scale_shard[:, 0][None, :]
+        vals, gidx = _mask_local_topk(
+            scores, filt, k, shard_items, MODEL_AXIS,
+            num_valid_items=num_valid_items,
+        )
+        all_vals = jax.lax.all_gather(vals, MODEL_AXIS)
+        all_idx = jax.lax.all_gather(gidx, MODEL_AXIS)
+        return merge_topk_candidates(all_vals, all_idx, k)
+
+    return run(user_emb_batch, item_q, item_scale, filter_idx)
 
 
 def pad_rows(x: np.ndarray, multiple: int) -> np.ndarray:

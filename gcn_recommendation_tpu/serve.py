@@ -70,17 +70,40 @@ class Retriever:
         item catalog is then row-sharded over the model axis and every
         ``recommend`` call scores through the distributed local-top-k +
         all-gather merge (parallel/spmd.py::sharded_topk_eval_batch), so
-        catalogs too large for one chip's HBM can still serve.  Mutually
-        exclusive with ``quantize`` (the int8 kernel is single-device)."""
+        catalogs too large for one chip's HBM can still serve.  Composes
+        with ``quantize``: the int8 table and its row scales are
+        row-sharded the same way and scored per shard
+        (spmd.py::sharded_quantized_topk_batch)."""
         self.mesh = mesh
-        if mesh is not None and quantize:
-            raise ValueError("int8 catalog and mesh sharding are mutually "
-                             "exclusive (the int8 score kernel is single-device)")
         self.num_items = int(item_emb.shape[0])
         self.quantized = quantize
         if quantize:
             self.item_q, self.item_scale = quantize_rows_int8(item_emb)
             self.item_emb = None
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from gcn_recommendation_tpu.core.mesh import MODEL_AXIS
+                from gcn_recommendation_tpu.parallel.spmd import pad_rows
+
+                n_model = mesh.shape[MODEL_AXIS]
+                sharded = NamedSharding(mesh, P(MODEL_AXIS, None))
+                self.item_q = jax.device_put(
+                    jnp.asarray(pad_rows(np.asarray(self.item_q), n_model * 8)),
+                    sharded,
+                )
+                # pad scales with 1.0 (not 0) so pad-row scores stay
+                # finite; pad rows are index-masked in the kernel anyway
+                sc = np.asarray(self.item_scale)
+                pad_n = self.item_q.shape[0] - sc.shape[0]
+                if pad_n:
+                    sc = np.concatenate(
+                        [sc, np.ones((pad_n, 1), sc.dtype)], axis=0
+                    )
+                self.item_scale = jax.device_put(jnp.asarray(sc), sharded)
+                user_emb = jax.device_put(
+                    jnp.asarray(user_emb), NamedSharding(mesh, P())
+                )
         elif mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -157,7 +180,17 @@ class Retriever:
         users_pad[:n_req] = users
         filt = jnp.asarray(self._filter_batch(users_pad, filter_seen))
         users_d = jnp.asarray(users_pad)
-        if self.quantized:
+        if self.quantized and self.mesh is not None:
+            from gcn_recommendation_tpu.parallel.spmd import (
+                sharded_quantized_topk_batch,
+            )
+
+            u = jnp.take(self.user_emb, users_d, axis=0)
+            vals, idx = sharded_quantized_topk_batch(
+                self.mesh, u, self.item_q, self.item_scale, filt, k,
+                num_valid_items=self.num_items,
+            )
+        elif self.quantized:
             vals, idx = _serve_topk_int8(
                 self.user_emb, users_d, self.item_q, self.item_scale, filt, k
             )
