@@ -175,6 +175,49 @@ def fmt_orderings(ours: dict, refs: dict, band: float = 3e-3) -> str:
     return "\n".join(lines)
 
 
+EPILOGUE = """
+## Known divergences (measured, not hidden)
+
+What matches: every regime's absolute recall band (dense 0.645-0.665 vs
+0.662; books 0.094 vs 0.087; sport 0.052 vs 0.050; zno 0.0578-0.0584 vs
+0.0576-0.0618), the books emb-init uplift sign and scale, the books and
+zno brand-delta ≈ 0, and the sport Fusion early peak epoch.  What does
+not, with the attribution:
+
+1. **Post-peak decay at synthetic scale.**  Our sparse-regime curves
+   (books, sport, zno) peak by epoch 15-70 and then decay, where the
+   reference's real-data runs climb to ~ep135 and hold.  The synthetic
+   datasets are 10-12k users (examples/parameter ≈ 0.2); the reference's
+   review dumps are far larger, so its 150-epoch runs are still
+   underfit.  The decay is worst for LightGCN_Fusion (the fusion Linear
+   memorizes fastest): books fus holds 0.47, sport 0.37.  Scaling the
+   synthetic users up would fix the shape but multiply every grid-run
+   cost; the bands and orderings are the transferable signal.
+2. **Books: Fusion peaks ≈ emb instead of above it.**  Reference books:
+   fus 0.1015 > emb 0.0951 > base 0.0866, all holding.  Ours: emb
+   0.0996 > fus 0.0969 > base 0.0940.  TPU probes at content noise
+   {1.0, 0.5, 0.2} moved emb (+0.0035/+0.0027/+0.0056) but fus stayed
+   ≈ emb - 0.002 — its peak is capped by the early-epoch dynamics
+   before the collapse of (1) sets in, so more content signal accrues
+   to the emb-init variant instead.
+3. **Dense: emb/fus uplifts are positive (+0.010..0.015) where the
+   reference's are ≈0/negative.**  A convergence-speed artifact, not a
+   content effect: a noise-10 probe (content ≈ pure noise) reproduced
+   the same +0.013 uplift, and our dense base runs are still climbing
+   at ep150 (best = final) while the reference's converge by ep135 —
+   any init that speeds early training shows as fake "uplift" at the
+   150-epoch cutoff.  The reference's dense Fusion *collapse*
+   (0.625 -> 0.536) needs real-metadata content that actively conflicts
+   with dense taste; factor-derived synthetic content cannot mislead
+   that way.
+4. **Dense brand delta −0.005.**  Duplicate-run spread measured from
+   our lase_* reruns is ~0.001, so the delta is real in our synthetic:
+   random brand edges smooth item embeddings toward brand means, a mild
+   cost in the dense regime.  The reference's dense brands are
+   metadata-correlated and score ≈0.
+"""
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stdout", action="store_true")
@@ -203,6 +246,7 @@ def main():
         band = max(3e-3, duplicate_spread(ours), duplicate_spread(ref))
         out.append(fmt_orderings(orderings(ours), orderings(ref), band=band))
 
+    out.append(EPILOGUE)
     text = "\n".join(out)
     if args.stdout:
         print(text)
