@@ -50,7 +50,9 @@ TORCH_THREADS = 2    # pinned: this host has 2 vCPUs; a floating thread
 # medians).  ``vs_recorded_baseline`` uses this constant so the headline
 # ratio is comparable across rounds even if the live baseline run hits
 # background load; the live-measured ratio is still reported.
-RECORDED_TORCH_BASELINE = 1786.0  # ex/s; consecutive trials 1712/1786 (4%)
+RECORDED_TORCH_BASELINE = 2054.0  # ex/s; quiet-host trials 1871/2054/2120
+# (a concurrent TPU-grid host process depressed earlier trials to
+# 1712/1786 — measure the comparator alone, like the serving numbers)
 
 
 def build_bundle():

@@ -114,6 +114,21 @@ def build_parser() -> argparse.ArgumentParser:
     rc.add_argument("--include_seen", action="store_true",
                     help="Do not filter the user's train-seen items.")
 
+    sv = sub.add_parser("serve",
+                        help="Run the HTTP serving daemon (server.py): "
+                             "micro-batched top-k over a trained checkpoint.")
+    add_common(sv)
+    sv.add_argument("--model_path", type=str, default=None,
+                    help="Path to checkpoint dir (default: the train-mode location).")
+    sv.add_argument("--int8", action="store_true",
+                    help="Serve from the int8-quantized item catalog.")
+    sv.add_argument("--host", type=str, default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8000,
+                    help="TCP port (0 = pick a free one and print it).")
+    sv.add_argument("--max_coalesce", type=int, default=16,
+                    help="Max queued requests coalesced into one device "
+                         "dispatch (PERF.md: M<=16 at books scale).")
+
     pr = sub.add_parser("prepare", help="Offline data preparation (ETL).")
     pr.add_argument("--recipe", type=str, required=True,
                     help="One of: amazon_books, amazon_books_emb, "
@@ -417,6 +432,35 @@ def run_recommend(args) -> int:
     return 0
 
 
+def run_serve(args) -> int:
+    """Serving daemon entry: checkpoint -> Retriever -> HTTP loop."""
+    from gcn_recommendation_tpu.serve import Retriever
+    from gcn_recommendation_tpu.server import RecommendServer
+
+    config = _make_config(args)
+    bundle, model = _load_everything(config)
+    params = _restore_best_params(config, args, model)
+    mesh = _build_mesh(args)
+    retriever = Retriever.from_params(
+        model, params, bundle, quantize=args.int8, mesh=mesh
+    )
+    # warm the common ladder shape so the first real request doesn't
+    # pay a (slow, remote) compile
+    retriever.recommend(np.zeros(1, np.int32), k=config.top_k)
+    server = RecommendServer(
+        retriever, bundle.num_users, host=args.host, port=args.port,
+        max_coalesce=args.max_coalesce,
+    )
+    print(f"serving on http://{args.host}:{server.port} "
+          f"({'int8' if args.int8 else 'f32'} catalog, "
+          f"max_coalesce={args.max_coalesce})", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def run_prepare(args) -> int:
     from gcn_recommendation_tpu.data import prepare
 
@@ -452,6 +496,8 @@ def main(argv=None) -> int:
         return run_test(args)
     if args.mode == "recommend":
         return run_recommend(args)
+    if args.mode == "serve":
+        return run_serve(args)
     if args.mode == "prepare":
         return run_prepare(args)
     raise ValueError(args.mode)

@@ -1,0 +1,232 @@
+"""Online serving daemon: HTTP front end over serve.Retriever.
+
+No reference counterpart (the reference's retrieval exists only inside
+evaluate(), main.py:404-439); this is the production face of the
+framework's serving stack.  Design constraints, in order:
+
+* **One device thread.**  The axon TPU client is not thread-safe
+  (CLAUDE.md: an async Orbax fetch racing training dispatches wedged the
+  loop), so ALL device work happens on a single dispatcher thread.  HTTP
+  handler threads only enqueue requests and wait on their reply events.
+* **Micro-batched dispatch.**  PERF.md "Serving latency": coalescing M
+  concurrent requests into one dispatch sustains ~1.7x the per-request
+  throughput (20k+ users/s at books scale) because each separate
+  dispatch pays a full tunnel round trip.  The dispatcher drains
+  whatever is queued (bounded by --max_coalesce) into one
+  ``Retriever.recommend_many`` call; an idle server serves single
+  requests with no added latency window.
+* **Stdlib only** (http.server) — no framework dependencies.
+
+Endpoints:
+
+* ``GET  /health``     -> {"status": "ok"}
+* ``GET  /stats``      -> request/user counters + latency aggregates
+* ``POST /recommend``  body {"users": [...], "k": 20,
+  "filter_seen": true} -> {"items": [[...], ...], "scores": [[...], ...]}
+
+Run: ``python -m gcn_recommendation_tpu serve --processed_dir ...
+[--port 8000] [--int8] [--mesh d,m]``.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class _Pending:
+    """One enqueued request, completed by the dispatcher thread."""
+
+    users: np.ndarray
+    k: int
+    filter_seen: bool
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Optional[Tuple[np.ndarray, np.ndarray]] = None
+    error: Optional[str] = None
+
+
+class Dispatcher:
+    """Single-threaded device dispatcher with micro-batch coalescing.
+
+    Requests with the same (k, filter_seen) that are waiting in the
+    queue at drain time are coalesced into ONE device dispatch via
+    ``Retriever.recommend_many``; mixed settings fall back to per-group
+    dispatches in arrival order.
+    """
+
+    def __init__(self, retriever, max_coalesce: int = 16):
+        self.retriever = retriever
+        self.max_coalesce = max_coalesce
+        self.q: "queue.Queue[_Pending]" = queue.Queue()
+        self.lock = threading.Lock()
+        self.stats = {
+            "requests": 0,
+            "users_served": 0,
+            "dispatches": 0,
+            "coalesced_requests": 0,
+            "latency_ms_sum": 0.0,
+        }
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self):
+        self.thread.start()
+
+    def stop(self):
+        self._stop.set()
+        self.q.put(None)  # wake the drain loop
+        self.thread.join(timeout=10)
+
+    def submit(self, p: _Pending) -> _Pending:
+        self.q.put(p)
+        return p
+
+    # --- dispatcher thread ---
+    def _drain(self) -> List[_Pending]:
+        """Block for one request, then grab everything else queued."""
+        first = self.q.get()
+        if first is None:
+            return []
+        batch = [first]
+        while len(batch) < self.max_coalesce:
+            try:
+                nxt = self.q.get_nowait()
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._stop.set()
+                break
+            batch.append(nxt)
+        return batch
+
+    def _run(self):
+        while not self._stop.is_set():
+            batch = self._drain()
+            if not batch:
+                continue
+            t0 = time.perf_counter()
+            # group by (k, filter_seen) — each group is one device dispatch
+            groups = {}
+            for p in batch:
+                groups.setdefault((p.k, p.filter_seen), []).append(p)
+            for (k, filt), group in groups.items():
+                try:
+                    outs = self.retriever.recommend_many(
+                        [p.users for p in group], k=k, filter_seen=filt
+                    )
+                    for p, (scores, items) in zip(group, outs):
+                        p.result = (scores, items)
+                except Exception as e:  # surface per-request, keep serving
+                    for p in group:
+                        p.error = f"{type(e).__name__}: {e}"
+                with self.lock:
+                    self.stats["dispatches"] += 1
+                    self.stats["coalesced_requests"] += len(group)
+            dt_ms = (time.perf_counter() - t0) * 1e3
+            with self.lock:
+                self.stats["requests"] += len(batch)
+                self.stats["users_served"] += sum(len(p.users) for p in batch)
+                self.stats["latency_ms_sum"] += dt_ms * len(batch)
+            for p in batch:
+                p.done.set()
+
+
+def _make_handler(dispatcher: Dispatcher, num_users: int, timeout_s: float):
+    class Handler(BaseHTTPRequestHandler):
+        # quiet per-request stderr logging
+        def log_message(self, fmt, *args):  # noqa: D102
+            pass
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802
+            if self.path == "/health":
+                return self._reply(200, {"status": "ok"})
+            if self.path == "/stats":
+                with dispatcher.lock:
+                    s = dict(dispatcher.stats)
+                n = max(1, s["requests"])
+                s["mean_latency_ms"] = round(s.pop("latency_ms_sum") / n, 2)
+                return self._reply(200, s)
+            return self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/recommend":
+                return self._reply(404, {"error": "unknown path"})
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                users = np.asarray(req["users"], dtype=np.int32)
+                if users.ndim != 1 or len(users) == 0:
+                    raise ValueError("users must be a non-empty 1-D list")
+                bad = users[(users < 0) | (users >= num_users)]
+                if len(bad):
+                    raise ValueError(
+                        f"user ids out of range [0, {num_users}): {bad.tolist()}"
+                    )
+                k = int(req.get("k", 20))
+                filter_seen = bool(req.get("filter_seen", True))
+            except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
+                return self._reply(400, {"error": str(e)})
+
+            p = dispatcher.submit(_Pending(users, k, filter_seen))
+            if not p.done.wait(timeout=timeout_s):
+                return self._reply(504, {"error": "dispatch timeout"})
+            if p.error is not None:
+                return self._reply(500, {"error": p.error})
+            scores, items = p.result
+            return self._reply(
+                200,
+                {
+                    "items": items.tolist(),
+                    "scores": [[round(float(v), 4) for v in row] for row in scores],
+                },
+            )
+
+    return Handler
+
+
+class RecommendServer:
+    """Bind + serve loop wrapper (also used in-process by tests)."""
+
+    def __init__(self, retriever, num_users: int, host: str = "127.0.0.1",
+                 port: int = 8000, max_coalesce: int = 16,
+                 timeout_s: float = 60.0):
+        self.dispatcher = Dispatcher(retriever, max_coalesce=max_coalesce)
+        handler = _make_handler(self.dispatcher, num_users, timeout_s)
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.port = self.httpd.server_address[1]  # resolved when port=0
+
+    def serve_forever(self):
+        self.dispatcher.start()
+        try:
+            self.httpd.serve_forever()
+        finally:
+            self.dispatcher.stop()
+
+    # --- test/in-process helpers ---
+    def start_background(self):
+        self.dispatcher.start()
+        self._srv_thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self._srv_thread.start()
+
+    def shutdown(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.dispatcher.stop()

@@ -215,6 +215,81 @@ def test_cli_sharded_test_and_recommend_match_single_device(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_serve_daemon(tmp_path):
+    """Drive the HTTP serving daemon end to end: train a checkpoint,
+    start `serve` as a subprocess, hit /health + /recommend, and check
+    the responses match the `recommend` CLI for the same users."""
+    import json as _json
+    import signal
+    import time
+    import urllib.request
+
+    data = str(tmp_path / "data")
+    r = _run(
+        ["prepare", "--recipe", "synthetic", "--num_users", "300",
+         "--num_items", "200", "--num_brands", "20", "--core", "16",
+         "--style", "latent", "--output_dir", data],
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out_root = str(tmp_path / "out")
+    r = _run(
+        ["train", "--processed_dir", data, "--epochs", "5",
+         "--batch_size", "256", "--output_root", out_root],
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    env = dict(os.environ)
+    env["GCN_TPU_FORCE_PLATFORM"] = "cpu"
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.Popen(
+        [sys.executable, "-u", "-m", "gcn_recommendation_tpu", "serve",
+         "--processed_dir", data, "--output_root", out_root, "--port", "0"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        # the daemon prints "serving on http://host:port" once ready
+        line = ""
+        for _ in range(120):
+            line = proc.stdout.readline()
+            if "serving on" in line:
+                break
+            assert proc.poll() is None, proc.stderr.read()[-2000:]
+        assert "serving on" in line, line
+        port = int(line.split(":")[-1].split()[0])
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/health", timeout=30
+        ) as resp:
+            assert _json.loads(resp.read()) == {"status": "ok"}
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/recommend",
+            data=_json.dumps({"users": [3, 7], "k": 5}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            body = _json.loads(resp.read())
+        assert len(body["items"]) == 2 and len(body["items"][0]) == 5
+
+        # parity with the one-shot recommend CLI on the same checkpoint
+        r = _run(["recommend", "--processed_dir", data, "--output_root",
+                  out_root, "--users", "3,7", "--k", "5"])
+        assert r.returncode == 0, r.stderr[-2000:]
+        for idx, u in enumerate((3, 7)):
+            cli_line = [l for l in r.stdout.splitlines()
+                        if l.startswith(f"user {u}:")][0]
+            cli_items = [int(p.split(":")[0]) for p in cli_line.split()[2:]]
+            assert body["items"][idx] == cli_items
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+
+
+@pytest.mark.slow
 def test_crash_resume_roundtrip(tmp_path):
     """Elastic-recovery proof: SIGKILL training after its first
     checkpoint, then --resume must continue from the saved epoch (not

@@ -1,0 +1,125 @@
+"""HTTP serving daemon tests (server.py).
+
+All device work in the daemon happens on a single dispatcher thread
+(axon client thread-safety rule, CLAUDE.md); these tests exercise the
+in-process server on the CPU backend: correctness vs direct Retriever
+calls, concurrent-request coalescing, and the error paths.
+"""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from gcn_recommendation_tpu.config import Config
+from gcn_recommendation_tpu.models import get_model
+from gcn_recommendation_tpu.serve import Retriever
+from gcn_recommendation_tpu.server import RecommendServer
+
+
+@pytest.fixture(scope="module")
+def server_setup(tiny_bundle):
+    bundle, _ = tiny_bundle
+    cfg = Config(embedding_dim=16, n_layers=2)
+    model = get_model("LightGCN")(
+        bundle.num_users, bundle.num_items, bundle.num_brands, cfg
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    retriever = Retriever.from_params(model, params, bundle)
+    server = RecommendServer(retriever, bundle.num_users, port=0)
+    server.start_background()
+    yield server, retriever, bundle
+    server.shutdown()
+
+
+def _post(port, payload, path="/recommend"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get(port, path):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}{path}", timeout=30
+    ) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_health_and_stats(server_setup):
+    server, _, _ = server_setup
+    status, body = _get(server.port, "/health")
+    assert status == 200 and body == {"status": "ok"}
+    status, body = _get(server.port, "/stats")
+    assert status == 200
+    for key in ("requests", "users_served", "dispatches", "mean_latency_ms"):
+        assert key in body
+
+
+def test_recommend_matches_direct_retriever(server_setup):
+    server, retriever, bundle = server_setup
+    users = np.unique(bundle.train.user_idx)[:5].tolist()
+    status, body = _post(server.port, {"users": users, "k": 7})
+    assert status == 200
+    sv, iv = retriever.recommend(np.asarray(users, np.int32), k=7)
+    assert body["items"] == iv.tolist()
+    np.testing.assert_allclose(
+        np.asarray(body["scores"]), sv, atol=5e-5  # scores rounded to 4dp
+    )
+
+
+def test_filter_seen_toggle(server_setup):
+    server, _, bundle = server_setup
+    users = np.unique(bundle.train.user_idx)[:4].tolist()
+    _, filt = _post(server.port, {"users": users, "k": 10})
+    _, unfilt = _post(
+        server.port, {"users": users, "k": 10, "filter_seen": False}
+    )
+    assert filt["items"] != unfilt["items"]
+
+
+def test_concurrent_requests_coalesce_and_stay_correct(server_setup):
+    server, retriever, bundle = server_setup
+    uniq = np.unique(bundle.train.user_idx)
+    reqs = [uniq[i::7][:3].tolist() for i in range(7)]
+    results = [None] * len(reqs)
+
+    def call(i):
+        results[i] = _post(server.port, {"users": reqs[i], "k": 5})
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(len(reqs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i, req in enumerate(reqs):
+        status, body = results[i]
+        assert status == 200
+        _, iv = retriever.recommend(np.asarray(req, np.int32), k=5)
+        assert body["items"] == iv.tolist()
+    # the dispatcher must have coalesced at least once under this burst OR
+    # served them all individually — either way every request is counted
+    _, stats = _get(server.port, "/stats")
+    assert stats["coalesced_requests"] >= stats["dispatches"]
+
+
+def test_error_paths(server_setup):
+    server, _, bundle = server_setup
+    status, body = _post(server.port, {"users": []})
+    assert status == 400 and "error" in body
+    status, body = _post(server.port, {"users": [bundle.num_users + 5]})
+    assert status == 400 and "out of range" in body["error"]
+    status, body = _post(server.port, {})
+    assert status == 400
+    status, body = _post(server.port, {"users": [0]}, path="/nope")
+    assert status == 404
