@@ -202,14 +202,17 @@ not, with the attribution:
    to the emb-init variant instead.
 3. **Dense: emb/fus uplifts are positive (+0.010..0.015) where the
    reference's are ≈0/negative.**  A convergence-speed artifact, not a
-   content effect: a noise-10 probe (content ≈ pure noise) reproduced
-   the same +0.013 uplift, and our dense base runs are still climbing
-   at ep150 (best = final) while the reference's converge by ep135 —
-   any init that speeds early training shows as fake "uplift" at the
-   150-epoch cutoff.  The reference's dense Fusion *collapse*
-   (0.625 -> 0.536) needs real-metadata content that actively conflicts
-   with dense taste; factor-derived synthetic content cannot mislead
-   that way.
+   content effect — *measured directly*: (a) a noise-10 probe (content
+   ≈ pure noise) reproduced the same +0.013 "uplift"; (b) extending the
+   same two runs to 300 epochs converges them to the SAME ceiling —
+   nob best 0.6703 (ep265) vs nob_emb 0.6708 (ep255), delta +0.0005,
+   the reference's own +0.0004, with identical ep300 finals (0.6675).
+   Our dense base is simply not converged at the 150-epoch protocol
+   cutoff (the reference's converges by ep135), so any init that
+   speeds early training shows as fake "uplift" at ep150.  The
+   reference's dense Fusion *collapse* (0.625 -> 0.536) needs
+   real-metadata content that actively conflicts with dense taste;
+   factor-derived synthetic content cannot mislead that way.
 4. **Dense brand delta −0.005.**  Duplicate-run spread measured from
    our lase_* reruns is ~0.001, so the delta is real in our synthetic:
    random brand edges smooth item embeddings toward brand means, a mild
