@@ -135,7 +135,10 @@ class Retriever:
         """Propagate once and build a retriever from trained params.
 
         The graph is built in the model's propagation storage dtype so
-        serving scores match the training-time validation scores."""
+        serving scores match the training-time validation scores up to
+        float summation order (the trainer's fused merge-skip layout
+        sums in permuted column order; serving uses the per-layer
+        layout, so near-exact-tie top-k entries may reorder)."""
         graph = to_device_graph_auto(
             bundle.graph,
             compute_dtype=jnp.dtype(getattr(model, "compute_dtype", "float32")),

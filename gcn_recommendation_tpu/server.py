@@ -51,6 +51,7 @@ class _Pending:
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[Tuple[np.ndarray, np.ndarray]] = None
     error: Optional[str] = None
+    t_submit: float = 0.0  # stamped by Dispatcher.submit
 
 
 class Dispatcher:
@@ -83,9 +84,24 @@ class Dispatcher:
     def stop(self):
         self._stop.set()
         self.q.put(None)  # wake the drain loop
-        self.thread.join(timeout=10)
+        if self.thread.is_alive():
+            self.thread.join(timeout=10)
+        self._fail_queued("server shutting down")
+
+    def _fail_queued(self, reason: str):
+        """Fast-fail anything still queued so waiting handlers return
+        immediately instead of blocking out their full timeout."""
+        while True:
+            try:
+                p = self.q.get_nowait()
+            except queue.Empty:
+                return
+            if p is not None:
+                p.error = reason
+                p.done.set()
 
     def submit(self, p: _Pending) -> _Pending:
+        p.t_submit = time.perf_counter()
         self.q.put(p)
         return p
 
@@ -112,7 +128,6 @@ class Dispatcher:
             batch = self._drain()
             if not batch:
                 continue
-            t0 = time.perf_counter()
             # group by (k, filter_seen) — each group is one device dispatch
             groups = {}
             for p in batch:
@@ -127,19 +142,26 @@ class Dispatcher:
                 except Exception as e:  # surface per-request, keep serving
                     for p in group:
                         p.error = f"{type(e).__name__}: {e}"
+                now = time.perf_counter()
                 with self.lock:
                     self.stats["dispatches"] += 1
                     self.stats["coalesced_requests"] += len(group)
-            dt_ms = (time.perf_counter() - t0) * 1e3
-            with self.lock:
-                self.stats["requests"] += len(batch)
-                self.stats["users_served"] += sum(len(p.users) for p in batch)
-                self.stats["latency_ms_sum"] += dt_ms * len(batch)
-            for p in batch:
-                p.done.set()
+                    self.stats["requests"] += len(group)
+                    self.stats["users_served"] += sum(
+                        len(p.users) for p in group
+                    )
+                    # per-request latency = queue wait + this group's
+                    # dispatch (each request charged from ITS submit time)
+                    self.stats["latency_ms_sum"] += sum(
+                        (now - p.t_submit) * 1e3 for p in group
+                    )
+                for p in group:
+                    p.done.set()
+        self._fail_queued("server shutting down")
 
 
-def _make_handler(dispatcher: Dispatcher, num_users: int, timeout_s: float):
+def _make_handler(dispatcher: Dispatcher, num_users: int, timeout_s: float,
+                  num_items: Optional[int] = None):
     class Handler(BaseHTTPRequestHandler):
         # quiet per-request stderr logging
         def log_message(self, fmt, *args):  # noqa: D102
@@ -179,6 +201,11 @@ def _make_handler(dispatcher: Dispatcher, num_users: int, timeout_s: float):
                         f"user ids out of range [0, {num_users}): {bad.tolist()}"
                     )
                 k = int(req.get("k", 20))
+                # reject bad k here with a 400 (mirrors cli.run_recommend's
+                # early validation) instead of a 500 from the device layer
+                k_cap = num_items if num_items is not None else 1 << 20
+                if not 0 < k <= k_cap:
+                    raise ValueError(f"k must be in [1, {k_cap}], got {k}")
                 filter_seen = bool(req.get("filter_seen", True))
             except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
                 return self._reply(400, {"error": str(e)})
@@ -207,7 +234,10 @@ class RecommendServer:
                  port: int = 8000, max_coalesce: int = 16,
                  timeout_s: float = 60.0):
         self.dispatcher = Dispatcher(retriever, max_coalesce=max_coalesce)
-        handler = _make_handler(self.dispatcher, num_users, timeout_s)
+        handler = _make_handler(
+            self.dispatcher, num_users, timeout_s,
+            num_items=getattr(retriever, "num_items", None),
+        )
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.port = self.httpd.server_address[1]  # resolved when port=0
 

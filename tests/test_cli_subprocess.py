@@ -241,20 +241,31 @@ def test_cli_serve_daemon(tmp_path):
     env = dict(os.environ)
     env["GCN_TPU_FORCE_PLATFORM"] = "cpu"
     env.pop("JAX_PLATFORMS", None)
+    # stderr -> DEVNULL: JAX/absl warnings can exceed the OS pipe buffer
+    # and deadlock a child whose pipe nobody drains
     proc = subprocess.Popen(
         [sys.executable, "-u", "-m", "gcn_recommendation_tpu", "serve",
          "--processed_dir", data, "--output_root", out_root, "--port", "0"],
-        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-        text=True,
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True,
     )
     try:
-        # the daemon prints "serving on http://host:port" once ready
+        # the daemon prints "serving on http://host:port" once ready;
+        # select() bounds every wait so a silent/wedged child fails the
+        # test instead of hanging it on a blocking readline
+        import select
+
         line = ""
-        for _ in range(120):
+        deadline = time.monotonic() + 300
+        while time.monotonic() < deadline:
+            ready, _, _ = select.select([proc.stdout], [], [], 5.0)
+            if not ready:
+                assert proc.poll() is None, "daemon exited before binding"
+                continue
             line = proc.stdout.readline()
             if "serving on" in line:
                 break
-            assert proc.poll() is None, proc.stderr.read()[-2000:]
+            assert proc.poll() is None, "daemon exited before binding"
         assert "serving on" in line, line
         port = int(line.split(":")[-1].split()[0])
 

@@ -107,10 +107,47 @@ def test_concurrent_requests_coalesce_and_stay_correct(server_setup):
         assert status == 200
         _, iv = retriever.recommend(np.asarray(req, np.int32), k=5)
         assert body["items"] == iv.tolist()
-    # the dispatcher must have coalesced at least once under this burst OR
-    # served them all individually — either way every request is counted
     _, stats = _get(server.port, "/stats")
-    assert stats["coalesced_requests"] >= stats["dispatches"]
+    assert stats["requests"] >= len(reqs)
+
+
+def test_dispatcher_coalesces_queued_burst(server_setup):
+    """Deterministic coalescing check: requests queued BEFORE the
+    dispatcher thread starts must be served in ONE device dispatch
+    (same (k, filter_seen) group), not one dispatch per request — the
+    behavior the PERF.md micro-batching throughput claim depends on."""
+    from gcn_recommendation_tpu.server import Dispatcher, _Pending
+
+    _, retriever, bundle = server_setup
+    d = Dispatcher(retriever, max_coalesce=16)
+    uniq = np.unique(bundle.train.user_idx)
+    pendings = [
+        d.submit(_Pending(uniq[i : i + 2].astype(np.int32), 5, True))
+        for i in range(5)
+    ]
+    d.start()
+    for p in pendings:
+        assert p.done.wait(timeout=60)
+        assert p.error is None
+        _, iv = retriever.recommend(p.users, k=5)
+        np.testing.assert_array_equal(p.result[1], iv)
+    with d.lock:
+        stats = dict(d.stats)
+    d.stop()
+    assert stats["dispatches"] == 1 and stats["coalesced_requests"] == 5
+
+
+def test_dispatcher_stop_fast_fails_queued(server_setup):
+    """stop() must complete still-queued requests with an error instead
+    of leaving their waiters to time out."""
+    from gcn_recommendation_tpu.server import Dispatcher, _Pending
+
+    _, retriever, bundle = server_setup
+    d = Dispatcher(retriever, max_coalesce=16)
+    p = d.submit(_Pending(np.asarray([0], np.int32), 5, True))
+    d.stop()  # thread never started; stop must fail the queued request
+    assert p.done.wait(timeout=5)
+    assert p.error is not None
 
 
 def test_error_paths(server_setup):

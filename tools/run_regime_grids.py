@@ -114,12 +114,16 @@ def main():
         processed = generate(regime, core=args.core, seed=args.seed,
                              emb_noise=args.emb_noise)
 
+        # books artifacts live in exp_synth/ (the pre-driver grid dir
+        # regime_comparison.py reads); other regimes in exp_synth_<name>
+        exp_name = "exp_synth" if regime == "books" else f"exp_synth_{regime}"
+
         def run_grid(grids: str, only, seed: int):
             cmd = [
                 sys.executable,
                 os.path.join(REPO, "tools", "run_experiments.py"),
                 "--processed_dir", processed,
-                "--exp_name", os.path.join(REPO, f"exp_synth_{regime}"),
+                "--exp_name", os.path.join(REPO, exp_name),
                 "--epochs", str(args.epochs),
                 "--core", str(args.core),
                 "--grids", grids,
