@@ -95,6 +95,50 @@ def test_sharded_topk_starved_candidates_use_index_sentinel():
     np.testing.assert_array_equal(idx[1:, :I], np.asarray(ref_idx))
 
 
+def test_sharded_quantized_topk_starved_and_k_over_shard():
+    """The int8 sharded scorer shares _mask_local_topk with the f32
+    path — prove the edge semantics survive the composition: k larger
+    than the per-shard row count, pad rows masked, starved slots
+    carrying out-of-catalog index sentinels, and agreement with the
+    single-device int8 kernel on the real candidates."""
+    from gcn_recommendation_tpu.ops.quant import (
+        quantize_rows_int8,
+        quantized_topk_scores,
+    )
+    from gcn_recommendation_tpu.ops.topk import MASK_VALUE
+    from gcn_recommendation_tpu.parallel.spmd import (
+        sharded_quantized_topk_batch,
+    )
+
+    rng = np.random.default_rng(3)
+    B, I, d, k = 4, 6, 8, 20  # k=20 > shard_items=8 (I padded to 32 / 4)
+    mesh = create_mesh(MeshSpec(data=2, model=4))
+    u = rng.standard_normal((B, d)).astype(np.float32)
+    items = rng.standard_normal((I, d)).astype(np.float32)
+    q, s = quantize_rows_int8(jnp.asarray(items), use_pallas=False)
+    q_pad = pad_rows(np.asarray(q), 4 * 8)
+    s_pad = np.concatenate(
+        [np.asarray(s), np.ones((q_pad.shape[0] - I, 1), np.float32)]
+    )
+    filt = np.full((B, I), I + 1000, np.int32)
+    filt[0] = np.arange(I, dtype=np.int32)  # user 0 fully filtered
+
+    vals, idx = sharded_quantized_topk_batch(
+        mesh, jnp.asarray(u), jnp.asarray(q_pad), jnp.asarray(s_pad),
+        jnp.asarray(filt), k, num_valid_items=I,
+    )
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    masked = vals <= MASK_VALUE / 2
+    assert masked[:, I:].all()
+    assert (idx[masked] >= I).all(), "pad slot leaked a real item id"
+    assert masked[0].all()
+    ref_vals, ref_idx = quantized_topk_scores(
+        jnp.asarray(u[1:]), q, s, jnp.asarray(filt[1:]), I
+    )
+    np.testing.assert_array_equal(idx[1:, :I], np.asarray(ref_idx))
+    np.testing.assert_allclose(vals[1:, :I], np.asarray(ref_vals), rtol=1e-6)
+
+
 @pytest.fixture()
 def sharded_pair(tiny_bundle, tmp_path):
     bundle, _ = tiny_bundle
