@@ -128,6 +128,10 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--max_coalesce", type=int, default=16,
                     help="Max queued requests coalesced into one device "
                          "dispatch (PERF.md: M<=16 at books scale).")
+    sv.add_argument("--max_request_users", type=int, default=8192,
+                    help="Reject /recommend requests with more users than "
+                         "this (400) — protects the single dispatcher "
+                         "thread from one oversized device batch.")
 
     pr = sub.add_parser("prepare", help="Offline data preparation (ETL).")
     pr.add_argument("--recipe", type=str, required=True,
@@ -162,6 +166,26 @@ def build_parser() -> argparse.ArgumentParser:
                          "of pure noise.")
     pr.add_argument("--brand_style", type=str, default="random",
                     choices=["random", "latent"])
+    # curve-shape knobs (round-5: reproduce the reference's rating-rank
+    # split and late-climb training curves — data/synthetic.py)
+    pr.add_argument("--split", type=str, default="random",
+                    choices=["random", "rank"],
+                    help="Leave-one-out mode: 'rank' holds out each user's "
+                         "highest realized-preference item (the reference "
+                         "recipes' rating-rank protocol).")
+    pr.add_argument("--pop_df", type=float, default=None,
+                    help="Student-t df for heavy-tailed popularity logits.")
+    pr.add_argument("--pop_zipf", type=float, default=None,
+                    help="Exact-Zipf popularity exponent (overrides "
+                         "pop_df/pop_scale's distribution).")
+    pr.add_argument("--deg_sigma", type=float, default=0.5,
+                    help="Lognormal sigma of per-user degrees.")
+    pr.add_argument("--spectrum", type=float, default=0.0,
+                    help="Power-law decay of taste-factor variances.")
+    pr.add_argument("--emb_style", type=str, default="informative",
+                    choices=["informative", "mislead"],
+                    help="'mislead' writes content embeddings that "
+                         "conflict with taste (permuted factors).")
     pr.add_argument("--seed", type=int, default=42)
     return p
 
@@ -447,9 +471,22 @@ def run_serve(args) -> int:
     # warm the common ladder shape so the first real request doesn't
     # pay a (slow, remote) compile
     retriever.recommend(np.zeros(1, np.int32), k=config.top_k)
+
+    def reload_retriever():
+        """POST /reload target: re-read the checkpoint from disk and
+        rebuild.  Runs on the server's dispatcher thread — the only
+        thread allowed to dispatch device work (axon rule); mirrors the
+        reference's on-demand checkpoint load (main.py:571)."""
+        new_params = _restore_best_params(config, args, model)
+        return Retriever.from_params(
+            model, new_params, bundle, quantize=args.int8, mesh=mesh
+        )
+
     server = RecommendServer(
         retriever, bundle.num_users, host=args.host, port=args.port,
         max_coalesce=args.max_coalesce,
+        max_request_users=args.max_request_users,
+        reload_fn=reload_retriever,
     )
     print(f"serving on http://{args.host}:{server.port} "
           f"({'int8' if args.int8 else 'f32'} catalog, "

@@ -441,6 +441,12 @@ def run_recipe(args) -> int:
             pop_scale=getattr(args, "pop_scale", 0.5),
             emb_noise=getattr(args, "emb_noise", None),
             brand_style=getattr(args, "brand_style", "random"),
+            split=getattr(args, "split", "random") or "random",
+            pop_df=getattr(args, "pop_df", None),
+            pop_zipf=getattr(args, "pop_zipf", None),
+            deg_sigma=getattr(args, "deg_sigma", 0.5),
+            emb_style=getattr(args, "emb_style", "informative"),
+            spectrum=getattr(args, "spectrum", 0.0) or 0.0,
         )
         print(f"Synthetic dataset written to {out}")
         return 0

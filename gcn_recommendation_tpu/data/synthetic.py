@@ -37,6 +37,11 @@ def generate_interactions_latent(
     temperature: float = 0.35,
     pop_scale: float = 0.5,
     return_latents: bool = False,
+    pop_df: Optional[float] = None,
+    deg_sigma: float = 0.5,
+    return_state: bool = False,
+    spectrum: float = 0.0,
+    pop_zipf: Optional[float] = None,
 ):
     """Sample interactions from a latent-factor taste model.
 
@@ -55,16 +60,62 @@ def generate_interactions_latent(
     generative state (mirroring real metadata, which correlates with
     taste — e.g. the reference's pretrained review-text embeddings,
     dataset/amazon_books_emb/prepare_data.py:141-150).
+
+    Tail knobs (round-5 curve-shape work, REGIMES.md divergence #1 —
+    real K-core review data has heavier-tailed degree structure than a
+    Gaussian latent model produces):
+
+    * ``pop_df`` — when set, popularity logits are Student-t with this
+      many degrees of freedom instead of Gaussian (df ~ 2-4 gives the
+      Zipf-like item-degree tail of review dumps: a few huge hubs, a
+      long thin tail that takes many epochs to learn).
+    * ``pop_zipf`` — when set, popularity logits are EXACT Zipf:
+      ``pop = -s * temperature * log(rank)`` over a random item ranking,
+      so a pure-popularity sampler draws item of rank r with probability
+      proportional to ``r^-s`` regardless of temperature.  The
+      controlled way to get review-dump degree tails (s ~ 0.5-0.8 for
+      K-core'd Amazon data); overrides ``pop_df``/``pop_scale``'s
+      distribution but composes additively with the taste scores.
+    * ``deg_sigma`` — lognormal sigma of the per-user degree draw
+      (0.5 = the original light tail; ~1.0 matches the heavy spread of
+      K-core'd users).
+    * ``spectrum`` — power-law decay exponent of the taste-factor
+      variances (factor j scaled by (1+j)^-spectrum, renormalized to
+      keep the total taste variance fixed).  0 = isotropic factors,
+      which a dim-64 model resolves within a few epochs — the flat
+      curves of REGIMES.md divergence #1; ~1 gives a few strong
+      directions (learned early) plus a long tail of weak ones that
+      keep improving recall for >100 epochs, the eigenspectrum shape of
+      real co-occurrence data and the source of the reference's
+      late-climb curves.
+
+    Each user's returned items are ordered by **descending realized
+    preference key** — the synthetic analogue of the reference's rating
+    order, which its split consumes via rating-rank
+    (dataset/amazon_books/prepare_data.py:95-97).  Callers implementing
+    rank-based splits rely on this ordering.
     """
     lu = rng.standard_normal((num_users, latent_dim)) / np.sqrt(latent_dim)
     lv = rng.standard_normal((num_items, latent_dim)) / np.sqrt(latent_dim)
+    if spectrum:
+        w = (1.0 + np.arange(latent_dim)) ** (-float(spectrum))
+        # keep sum(w^2) = latent_dim so the taste-score std (and hence
+        # the temperature calibration) is unchanged by the exponent
+        w *= np.sqrt(latent_dim / np.sum(w * w))
+        lv = lv * w[None, :]
     # popularity bias: ``pop_scale`` sets how much taste concentrates on
     # globally popular items — the dense-catalog regime (steam-like, a few
     # hugely popular titles everyone has) needs a high value, which is
     # also what makes its leave-one-out recall band (~0.66) reachable
-    pop = pop_scale * rng.standard_normal(num_items)
+    if pop_zipf is not None:
+        ranks = rng.permutation(num_items).astype(np.float64) + 1.0
+        pop = -float(pop_zipf) * temperature * np.log(ranks)
+    elif pop_df is not None:
+        pop = pop_scale * rng.standard_t(pop_df, num_items)
+    else:
+        pop = pop_scale * rng.standard_normal(num_items)
     deg = np.maximum(
-        core, rng.lognormal(np.log(mean_degree), 0.5, num_users)
+        core, rng.lognormal(np.log(mean_degree), deg_sigma, num_users)
     ).astype(np.int64)
     deg = np.minimum(deg, num_items)
 
@@ -86,6 +137,10 @@ def generate_interactions_latent(
             items_out.append(row[order].astype(np.int64))
     users = np.concatenate(users_out)
     items = np.concatenate(items_out)
+    if return_state:
+        # full generative state (user factors, item factors, popularity
+        # logits) for oracle-recall calibration
+        return users.astype(np.int32), items.astype(np.int32), (lu, lv, pop)
     if return_latents:
         return users.astype(np.int32), items.astype(np.int32), lv
     return users.astype(np.int32), items.astype(np.int32)
@@ -115,6 +170,30 @@ def informative_item_embeddings(
     emb = lv @ proj + noise * rng.standard_normal((lv.shape[0], embedding_dim))
     emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-8)
     return emb.astype(np.float32)
+
+
+def misleading_item_embeddings(
+    rng: np.random.Generator,
+    lv: np.ndarray,
+    embedding_dim: int,
+    noise: float = 0.0,
+) -> np.ndarray:
+    """Content embeddings that actively CONFLICT with item taste.
+
+    Row-permutes the item factor matrix before projecting, so each
+    item's content carries the (strong, internally consistent) latent
+    structure of an unrelated item: content-similar items are taste-
+    unrelated.  This models real metadata that misleads a content-fusion
+    model — the regime behind the reference's dense Fusion collapse
+    (exp/results/base_150e20c_brd_fus: best 0.6255 at ep10 decaying to
+    0.5364), which purely *noisy* content cannot reproduce because the
+    fusion Linear simply learns to ignore noise (REGIMES.md divergence
+    #3).  ``noise`` adds Gaussian on top as in
+    informative_item_embeddings.
+    """
+    return informative_item_embeddings(
+        rng, lv[rng.permutation(lv.shape[0])], embedding_dim, noise
+    )
 
 
 def latent_cluster_brands(
@@ -184,6 +263,12 @@ def generate_synthetic_dataset(
     pop_scale: float = 0.5,
     emb_noise: Optional[float] = None,
     brand_style: str = "random",
+    split: str = "random",
+    pop_df: Optional[float] = None,
+    deg_sigma: float = 0.5,
+    emb_style: str = "informative",
+    spectrum: float = 0.0,
+    pop_zipf: Optional[float] = None,
 ) -> str:
     """Write a synthetic processed dataset; returns the output dir.
 
@@ -192,9 +277,26 @@ def generate_synthetic_dataset(
     ``latent_dim``/``temperature`` set the regime (see
     generate_interactions_latent), ``emb_noise`` (not None) derives the
     item-embedding matrix from the true item factors via
-    informative_item_embeddings instead of pure noise, and
-    ``brand_style='latent'`` clusters brands in taste space
+    informative_item_embeddings instead of pure noise
+    (``emb_style='mislead'`` uses misleading_item_embeddings instead),
+    and ``brand_style='latent'`` clusters brands in taste space
     (latent_cluster_brands).
+
+    ``split``: 'random' holds out one uniformly chosen interaction per
+    user; 'rank' (latent style only) holds out each user's **highest
+    realized-preference** interaction and writes train rows in
+    descending preference order — the reference recipes' rating-rank
+    leave-one-out (dataset/amazon_books/prepare_data.py:95-97: test =
+    rank-1 by rating; the runtime loader then takes the first train row
+    per user as val, main.py:201-203 — here rank-2).  The random split
+    holds out a *draw* (partly Gumbel noise, unpredictable from taste),
+    so eval recall decays once the model sharpens past the popularity
+    prior; the rank split holds out the most preference-aligned item,
+    which better training keeps ranking higher — the late-climb-and-hold
+    curve shape of every reference run (REGIMES.md divergence #1).
+
+    ``pop_df`` / ``deg_sigma``: tail knobs, see
+    generate_interactions_latent.
     """
     import pandas as pd
 
@@ -205,6 +307,8 @@ def generate_synthetic_dataset(
             rng, num_users, num_items, mean_degree, core,
             latent_dim=latent_dim, temperature=temperature,
             pop_scale=pop_scale, return_latents=True,
+            pop_df=pop_df, deg_sigma=deg_sigma, spectrum=spectrum,
+            pop_zipf=pop_zipf,
         )
     else:
         users, items = generate_interactions(
@@ -217,15 +321,28 @@ def generate_synthetic_dataset(
     ok = counts[users] >= 3
     users, items = users[ok], items[ok]
 
-    # leave-one-out: one random interaction per user -> test
-    order = rng.permutation(len(users))
-    u_shuf, i_shuf = users[order], items[order]
-    _, first_pos = np.unique(u_shuf, return_index=True)
-    is_test = np.zeros(len(u_shuf), dtype=bool)
-    is_test[first_pos] = True
+    if split == "rank":
+        if style != "latent":
+            raise ValueError("split='rank' requires style='latent'")
+        # rows are already per-user contiguous in descending realized-
+        # preference order (generate_interactions_latent docstring);
+        # test = rank-1 per user, train keeps the order for the loader's
+        # rank-2 val pick
+        _, first_pos = np.unique(users, return_index=True)
+        is_test = np.zeros(len(users), dtype=bool)
+        is_test[first_pos] = True
+        train_u, train_i = users[~is_test], items[~is_test]
+        test_u, test_i = users[is_test], items[is_test]
+    else:
+        # leave-one-out: one random interaction per user -> test
+        order = rng.permutation(len(users))
+        u_shuf, i_shuf = users[order], items[order]
+        _, first_pos = np.unique(u_shuf, return_index=True)
+        is_test = np.zeros(len(u_shuf), dtype=bool)
+        is_test[first_pos] = True
 
-    train_u, train_i = u_shuf[~is_test], i_shuf[~is_test]
-    test_u, test_i = u_shuf[is_test], i_shuf[is_test]
+        train_u, train_i = u_shuf[~is_test], i_shuf[~is_test]
+        test_u, test_i = u_shuf[is_test], i_shuf[is_test]
 
     # one or two brands per item
     if brand_style == "latent" and lv is not None:
@@ -258,7 +375,12 @@ def generate_synthetic_dataset(
         )
     if embedding_dim:
         if emb_noise is not None and lv is not None:
-            emb = informative_item_embeddings(rng, lv, embedding_dim, emb_noise)
+            maker = (
+                misleading_item_embeddings
+                if emb_style == "mislead"
+                else informative_item_embeddings
+            )
+            emb = maker(rng, lv, embedding_dim, emb_noise)
         else:
             emb = rng.standard_normal((num_items, embedding_dim)).astype(np.float32)
         np.save(os.path.join(out_dir, "item_embeddings.npy"), emb)
@@ -277,12 +399,23 @@ def synthetic_bundle(
     latent_dim: int = 16,
     temperature: float = 0.35,
     pop_scale: float = 0.5,
+    split: str = "random",
+    pop_df: Optional[float] = None,
+    deg_sigma: float = 0.5,
+    return_latents: bool = False,
+    spectrum: float = 0.0,
+    pop_zipf: Optional[float] = None,
 ):
     """Build a DataBundle fully in memory (no parquet round-trip).
 
     Used by __graft_entry__ and bench.py where file I/O is noise.
     ``style`` as in generate_synthetic_dataset; ``latent_dim`` /
-    ``temperature`` are the latent-style regime knobs.
+    ``temperature`` are the latent-style regime knobs; ``split`` /
+    ``pop_df`` / ``deg_sigma`` as in generate_synthetic_dataset
+    (split='rank': test = rank-1, val = rank-2 realized preference —
+    the reference's rating-rank protocol).  ``return_latents`` also
+    returns ``(lu, lv, pop)`` so calibration tools can compute the
+    oracle recall of the true generative scores.
     """
     from gcn_recommendation_tpu.data.loader import (
         DataBundle,
@@ -293,13 +426,17 @@ def synthetic_bundle(
     from gcn_recommendation_tpu.graph.build import build_normalized_adjacency
 
     rng = np.random.default_rng(seed)
+    latents = None
     if style == "latent":
-        users, items = generate_interactions_latent(
+        users, items, latents = generate_interactions_latent(
             rng, num_users, num_items, mean_degree, core,
             latent_dim=latent_dim, temperature=temperature,
-            pop_scale=pop_scale,
+            pop_scale=pop_scale, pop_df=pop_df, deg_sigma=deg_sigma,
+            spectrum=spectrum, pop_zipf=pop_zipf, return_state=True,
         )
     else:
+        if split == "rank":
+            raise ValueError("split='rank' requires style='latent'")
         users, items = generate_interactions(
             rng, num_users, num_items, mean_degree, core
         )
@@ -307,8 +444,13 @@ def synthetic_bundle(
     ok = counts[users] >= 3
     users, items = users[ok], items[ok]
 
-    order = rng.permutation(len(users))
-    u_shuf, i_shuf = users[order], items[order]
+    if split == "rank":
+        # rows are per-user contiguous in descending realized-preference
+        # order; hold out rank-1 as test, rank-2 as val
+        u_shuf, i_shuf = users, items
+    else:
+        order = rng.permutation(len(users))
+        u_shuf, i_shuf = users[order], items[order]
     _, first = np.unique(u_shuf, return_index=True)
     mask = np.zeros(len(u_shuf), dtype=bool)
     mask[first] = True
@@ -337,7 +479,7 @@ def synthetic_bundle(
     stats = compute_graph_stats(
         train, item_brand, num_users, num_items, num_brands, use_brand
     )
-    return DataBundle(
+    bundle = DataBundle(
         train=train,
         val=val,
         test=test,
@@ -349,3 +491,6 @@ def synthetic_bundle(
         item_to_brand=item_to_brand,
         graph_stats=stats,
     )
+    if return_latents:
+        return bundle, latents
+    return bundle

@@ -78,9 +78,16 @@ class Retriever:
         self.num_items = int(item_emb.shape[0])
         self.quantized = quantize
         if quantize:
-            self.item_q, self.item_scale = quantize_rows_int8(item_emb)
-            self.item_emb = None
             if mesh is not None:
+                # quantize AFTER sharding (round-4 ADVICE): the f32
+                # catalog is row-sharded first and each device quantizes
+                # only its own shard, so the int8 table + scales never
+                # materialize whole on one chip.  (The f32 catalog
+                # itself arrives as the propagation output, so its
+                # load-time residency is set upstream by how the forward
+                # pass was sharded.)  Pad rows are all-zero -> the
+                # kernel's absmax guard gives them a ~1e-14 scale and
+                # zero codes; they are index-masked at top-k anyway.
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 from gcn_recommendation_tpu.core.mesh import MODEL_AXIS
@@ -88,22 +95,23 @@ class Retriever:
 
                 n_model = mesh.shape[MODEL_AXIS]
                 sharded = NamedSharding(mesh, P(MODEL_AXIS, None))
-                self.item_q = jax.device_put(
-                    jnp.asarray(pad_rows(np.asarray(self.item_q), n_model * 8)),
+                item_pad = jax.device_put(
+                    jnp.asarray(pad_rows(np.asarray(item_emb), n_model * 8)),
                     sharded,
                 )
-                # pad scales with 1.0 (not 0) so pad-row scores stay
-                # finite; pad rows are index-masked in the kernel anyway
-                sc = np.asarray(self.item_scale)
-                pad_n = self.item_q.shape[0] - sc.shape[0]
-                if pad_n:
-                    sc = np.concatenate(
-                        [sc, np.ones((pad_n, 1), sc.dtype)], axis=0
-                    )
-                self.item_scale = jax.device_put(jnp.asarray(sc), sharded)
+                qfn = jax.shard_map(
+                    quantize_rows_int8,
+                    mesh=mesh,
+                    in_specs=P(MODEL_AXIS, None),
+                    out_specs=(P(MODEL_AXIS, None), P(MODEL_AXIS, None)),
+                )
+                self.item_q, self.item_scale = jax.jit(qfn)(item_pad)
                 user_emb = jax.device_put(
                     jnp.asarray(user_emb), NamedSharding(mesh, P())
                 )
+            else:
+                self.item_q, self.item_scale = quantize_rows_int8(item_emb)
+            self.item_emb = None
         elif mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 

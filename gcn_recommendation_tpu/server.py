@@ -23,6 +23,13 @@ Endpoints:
 * ``GET  /stats``      -> request/user counters + latency aggregates
 * ``POST /recommend``  body {"users": [...], "k": 20,
   "filter_seen": true} -> {"items": [[...], ...], "scores": [[...], ...]}
+* ``POST /reload``     -> rebuild the Retriever from the checkpoint on
+  disk (newest weights), executed ON the dispatcher thread (the axon
+  rule again), and atomically swap it in.  Requests queued before the
+  reload finish on the old tables; everything after scores on the new
+  ones.  The reference's test path reloads a checkpoint on demand
+  (main.py:571) — this is the daemon analogue, so a model update does
+  not need a server restart + recompile.
 
 Run: ``python -m gcn_recommendation_tpu serve --processed_dir ...
 [--port 8000] [--int8] [--mesh d,m]``.
@@ -36,7 +43,7 @@ import threading
 import time
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import List, Optional, Tuple
+from typing import Callable, List, Optional, Tuple
 
 import numpy as np
 
@@ -52,6 +59,22 @@ class _Pending:
     result: Optional[Tuple[np.ndarray, np.ndarray]] = None
     error: Optional[str] = None
     t_submit: float = 0.0  # stamped by Dispatcher.submit
+    # set by the handler when it gives up waiting (504): the dispatcher
+    # drops abandoned requests instead of spending device time on
+    # results nobody will read (round-4 ADVICE)
+    cancelled: bool = False
+
+
+@dataclass
+class _Reload:
+    """A model-refresh request: ``build()`` runs on the dispatcher
+    thread (the only thread allowed to touch the device) and returns the
+    replacement Retriever."""
+
+    build: Callable[[], object]
+    done: threading.Event = field(default_factory=threading.Event)
+    error: Optional[str] = None
+    seconds: float = 0.0
 
 
 class Dispatcher:
@@ -74,6 +97,8 @@ class Dispatcher:
             "dispatches": 0,
             "coalesced_requests": 0,
             "latency_ms_sum": 0.0,
+            "abandoned": 0,
+            "reloads": 0,
         }
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._run, daemon=True)
@@ -105,13 +130,26 @@ class Dispatcher:
         self.q.put(p)
         return p
 
+    def request_reload(self, build: Callable[[], object]) -> _Reload:
+        """Enqueue a retriever swap; built + swapped on the dispatcher
+        thread, FIFO with the pending requests."""
+        r = _Reload(build)
+        self.q.put(r)
+        return r
+
     # --- dispatcher thread ---
-    def _drain(self) -> List[_Pending]:
-        """Block for one request, then grab everything else queued."""
+    def _drain(self) -> List[object]:
+        """Block for one request, then grab everything else queued.
+
+        A _Reload item ends the drain (and is returned last), so a
+        reload never interleaves with requests queued after it — those
+        are served by the NEW retriever on the next drain."""
         first = self.q.get()
         if first is None:
             return []
         batch = [first]
+        if isinstance(first, _Reload):
+            return batch
         while len(batch) < self.max_coalesce:
             try:
                 nxt = self.q.get_nowait()
@@ -121,16 +159,45 @@ class Dispatcher:
                 self._stop.set()
                 break
             batch.append(nxt)
+            if isinstance(nxt, _Reload):
+                break
         return batch
+
+    def _reload(self, r: _Reload):
+        """Swap the retriever; runs on the dispatcher thread, which is
+        the only thread that dispatches device work — so the propagation
+        inside ``build()`` honors the axon single-thread rule and there
+        are no in-flight device calls racing the swap."""
+        t0 = time.perf_counter()
+        try:
+            self.retriever = r.build()
+            r.seconds = time.perf_counter() - t0
+            with self.lock:
+                self.stats["reloads"] += 1
+        except Exception as e:
+            r.error = f"{type(e).__name__}: {e}"
+        r.done.set()
 
     def _run(self):
         while not self._stop.is_set():
             batch = self._drain()
             if not batch:
                 continue
+            reloads = [p for p in batch if isinstance(p, _Reload)]
+            pendings = [p for p in batch if isinstance(p, _Pending)]
+            # drop requests whose handler already timed out (504): their
+            # result would go unread, so don't spend device time on them
+            abandoned = [p for p in pendings if p.cancelled]
+            if abandoned:
+                with self.lock:
+                    self.stats["abandoned"] += len(abandoned)
+                for p in abandoned:
+                    p.done.set()
             # group by (k, filter_seen) — each group is one device dispatch
             groups = {}
-            for p in batch:
+            for p in pendings:
+                if p.cancelled:
+                    continue
                 groups.setdefault((p.k, p.filter_seen), []).append(p)
             for (k, filt), group in groups.items():
                 try:
@@ -157,11 +224,16 @@ class Dispatcher:
                     )
                 for p in group:
                     p.done.set()
+            for r in reloads:
+                self._reload(r)
         self._fail_queued("server shutting down")
 
 
 def _make_handler(dispatcher: Dispatcher, num_users: int, timeout_s: float,
-                  num_items: Optional[int] = None):
+                  num_items: Optional[int] = None,
+                  max_request_users: int = 8192,
+                  reload_fn: Optional[Callable[[], object]] = None,
+                  reload_timeout_s: float = 600.0):
     class Handler(BaseHTTPRequestHandler):
         # quiet per-request stderr logging
         def log_message(self, fmt, *args):  # noqa: D102
@@ -187,6 +259,22 @@ def _make_handler(dispatcher: Dispatcher, num_users: int, timeout_s: float,
             return self._reply(404, {"error": "unknown path"})
 
         def do_POST(self):  # noqa: N802
+            if self.path == "/reload":
+                if reload_fn is None:
+                    return self._reply(
+                        501, {"error": "no reload source configured"}
+                    )
+                r = dispatcher.request_reload(reload_fn)
+                # checkpoint restore + re-propagation (+ a possible
+                # compile on a fresh shape) can take minutes on the
+                # remote-tunnel TPU — its own, longer timeout
+                if not r.done.wait(timeout=reload_timeout_s):
+                    return self._reply(504, {"error": "reload timeout"})
+                if r.error is not None:
+                    return self._reply(500, {"error": r.error})
+                return self._reply(
+                    200, {"status": "reloaded", "seconds": round(r.seconds, 3)}
+                )
             if self.path != "/recommend":
                 return self._reply(404, {"error": "unknown path"})
             try:
@@ -195,6 +283,14 @@ def _make_handler(dispatcher: Dispatcher, num_users: int, timeout_s: float,
                 users = np.asarray(req["users"], dtype=np.int32)
                 if users.ndim != 1 or len(users) == 0:
                     raise ValueError("users must be a non-empty 1-D list")
+                if len(users) > max_request_users:
+                    # one oversized request would occupy the single
+                    # dispatcher thread with an arbitrarily large device
+                    # batch, stalling every other client (round-4 ADVICE)
+                    raise ValueError(
+                        f"too many users in one request: {len(users)} > "
+                        f"cap {max_request_users}"
+                    )
                 bad = users[(users < 0) | (users >= num_users)]
                 if len(bad):
                     raise ValueError(
@@ -212,6 +308,9 @@ def _make_handler(dispatcher: Dispatcher, num_users: int, timeout_s: float,
 
             p = dispatcher.submit(_Pending(users, k, filter_seen))
             if not p.done.wait(timeout=timeout_s):
+                # best-effort: if the dispatcher hasn't picked it up yet
+                # it will skip the device work and count it as abandoned
+                p.cancelled = True
                 return self._reply(504, {"error": "dispatch timeout"})
             if p.error is not None:
                 return self._reply(500, {"error": p.error})
@@ -232,11 +331,19 @@ class RecommendServer:
 
     def __init__(self, retriever, num_users: int, host: str = "127.0.0.1",
                  port: int = 8000, max_coalesce: int = 16,
-                 timeout_s: float = 60.0):
+                 timeout_s: float = 60.0, max_request_users: int = 8192,
+                 reload_fn: Optional[Callable[[], object]] = None,
+                 reload_timeout_s: float = 600.0):
+        """``reload_fn``: zero-arg callable returning a fresh Retriever
+        (typically: restore the newest checkpoint + re-propagate); wired
+        to ``POST /reload`` and executed on the dispatcher thread."""
         self.dispatcher = Dispatcher(retriever, max_coalesce=max_coalesce)
         handler = _make_handler(
             self.dispatcher, num_users, timeout_s,
             num_items=getattr(retriever, "num_items", None),
+            max_request_users=max_request_users,
+            reload_fn=reload_fn,
+            reload_timeout_s=reload_timeout_s,
         )
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.port = self.httpd.server_address[1]  # resolved when port=0

@@ -85,8 +85,11 @@ def test_multiprocess_distributed_dryrun():
         cwd=REPO,
         capture_output=True,
         text=True,
-        timeout=500,
+        # phases 1-2 (checkpoint drill) + the halo process-boundary
+        # phases compile several shard_map programs on CPU: ~9 min cold
+        timeout=1200,
     )
+    assert "halo process-boundary equality" in r.stdout, r.stdout + r.stderr
     assert r.returncode == 0, r.stdout + r.stderr
     assert "multiproc_dryrun PASSED" in r.stdout
 
@@ -292,6 +295,117 @@ def test_cli_serve_daemon(tmp_path):
                         if l.startswith(f"user {u}:")][0]
             cli_items = [int(p.split(":")[0]) for p in cli_line.split()[2:]]
             assert body["items"][idx] == cli_items
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+
+
+def _spawn_daemon(args, extra_env=None):
+    """Start `serve` as a subprocess; return (proc, port) once bound."""
+    import select
+    import time
+
+    env = dict(os.environ)
+    env["GCN_TPU_FORCE_PLATFORM"] = "cpu"
+    env.pop("JAX_PLATFORMS", None)
+    if extra_env:
+        env.update(extra_env)
+    proc = subprocess.Popen(
+        [sys.executable, "-u", "-m", "gcn_recommendation_tpu", "serve"] + args,
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True,
+    )
+    line = ""
+    deadline = time.monotonic() + 300
+    while time.monotonic() < deadline:
+        ready, _, _ = select.select([proc.stdout], [], [], 5.0)
+        if not ready:
+            assert proc.poll() is None, "daemon exited before binding"
+            continue
+        line = proc.stdout.readline()
+        if "serving on" in line:
+            break
+        assert proc.poll() is None, "daemon exited before binding"
+    assert "serving on" in line, line
+    return proc, int(line.split(":")[-1].split()[0])
+
+
+@pytest.mark.slow
+def test_cli_serve_daemon_sharded_int8_reload(tmp_path):
+    """Round-4 verdict #4/#7: the daemon's full surface — `serve --mesh
+    --int8` (sharded int8 catalog) served over HTTP must match the
+    `recommend --mesh --int8` CLI, and POST /reload must pick up a newer
+    checkpoint without a restart (reference main.py:571's on-demand
+    checkpoint load, daemonized)."""
+    import json as _json
+    import signal
+    import urllib.request
+
+    def post(port, payload, path="/recommend"):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=_json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return _json.loads(resp.read())
+
+    def cli_items(stdout, user):
+        line = [l for l in stdout.splitlines()
+                if l.startswith(f"user {user}:")][0]
+        return [int(p.split(":")[0]) for p in line.split()[2:]]
+
+    data = str(tmp_path / "data")
+    r = _run(
+        ["prepare", "--recipe", "synthetic", "--num_users", "300",
+         "--num_items", "200", "--num_brands", "20", "--core", "16",
+         "--style", "latent", "--output_dir", data],
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out_root = str(tmp_path / "out")
+    r = _run(
+        ["train", "--processed_dir", data, "--epochs", "5",
+         "--batch_size", "256", "--output_root", out_root],
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    mesh_env = {"XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    proc, port = _spawn_daemon(
+        ["--processed_dir", data, "--output_root", out_root, "--port", "0",
+         "--int8", "--mesh", "1,8"],
+        extra_env=mesh_env,
+    )
+    try:
+        body_v1 = post(port, {"users": [3, 7], "k": 5})
+        r = _run(["recommend", "--processed_dir", data, "--output_root",
+                  out_root, "--users", "3,7", "--k", "5", "--int8",
+                  "--mesh", "1,8"], extra_env=mesh_env)
+        assert r.returncode == 0, r.stderr[-2000:]
+        for idx, u in enumerate((3, 7)):
+            assert body_v1["items"][idx] == cli_items(r.stdout, u)
+
+        # a newer checkpoint lands on disk (longer train run, same root)
+        r = _run(
+            ["train", "--processed_dir", data, "--epochs", "15",
+             "--batch_size", "256", "--output_root", out_root],
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+
+        reload_body = post(port, {}, path="/reload")
+        assert reload_body["status"] == "reloaded"
+
+        body_v2 = post(port, {"users": [3, 7], "k": 5})
+        r = _run(["recommend", "--processed_dir", data, "--output_root",
+                  out_root, "--users", "3,7", "--k", "5", "--int8",
+                  "--mesh", "1,8"], extra_env=mesh_env)
+        assert r.returncode == 0, r.stderr[-2000:]
+        for idx, u in enumerate((3, 7)):
+            assert body_v2["items"][idx] == cli_items(r.stdout, u)
+        # the swap actually changed the serving tables
+        assert body_v2 != body_v1
     finally:
         proc.send_signal(signal.SIGTERM)
         try:

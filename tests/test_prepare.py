@@ -424,3 +424,123 @@ def test_synthetic_dataset_regime_knobs_roundtrip(tmp_path):
     assert emb.shape == (80, 12)
     norms = np.linalg.norm(emb, axis=1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 curve-shape knobs (rank split, factor spectrum, tails, mislead)
+# ---------------------------------------------------------------------------
+
+
+def test_synthetic_rank_split_holds_out_top_preference(tmp_path):
+    """split='rank' must hold out each user's HIGHEST realized-preference
+    interaction (the reference recipes' rating-rank-1 protocol,
+    dataset/amazon_books/prepare_data.py:95-97), with train rows kept in
+    descending preference order so the loader's first-row val pick is
+    rank-2 (main.py:201-203)."""
+    import pandas as pd
+
+    from gcn_recommendation_tpu.data.synthetic import (
+        generate_synthetic_dataset,
+        synthetic_bundle,
+    )
+
+    out = generate_synthetic_dataset(
+        str(tmp_path / "ds"),
+        num_users=120, num_items=80, num_brands=8, mean_degree=8.0,
+        core=3, seed=11, style="latent", latent_dim=6, split="rank",
+    )
+    tr = pd.read_parquet(os.path.join(out, "train.parquet"))
+    te = pd.read_parquet(os.path.join(out, "test.parquet"))
+    # exactly one test row per user, and no train/test overlap per user
+    assert te.groupby("user_idx").size().max() == 1
+    merged = tr.merge(te, on=["user_idx", "item_idx"], how="inner")
+    assert merged.empty
+
+    # the bundle's test item must beat its val item in true preference:
+    # rank-1 key >= rank-2 key by construction
+    bundle, (lu, lv, pop) = synthetic_bundle(
+        num_users=120, num_items=80, num_brands=8, mean_degree=8.0,
+        core=3, seed=11, style="latent", latent_dim=6, split="rank",
+        return_latents=True,
+    )
+    # the held-out item is the max-realized-key draw, so its TRUE score
+    # must sit far up the user's preference distribution (vs the whole
+    # catalog; rank-1 vs rank-2 is noise-separated, being adjacent order
+    # statistics, so that comparison would be ~50/50 by design)
+    s = lu @ lv.T + pop[None, :]
+    frac = np.array([
+        (s[int(u)] < s[int(u), int(i)]).mean()
+        for u, i in zip(bundle.test.user_idx, bundle.test.item_idx)
+    ])
+    assert np.median(frac) > 0.85          # typically near the top
+    assert (frac > 0.5).mean() > 0.85      # almost never below median
+
+
+def test_synthetic_spectrum_weights_factor_variances():
+    """spectrum > 0 decays per-factor item variance like a power law
+    while keeping the total variance (temperature calibration) fixed."""
+    from gcn_recommendation_tpu.data.synthetic import (
+        generate_interactions_latent,
+    )
+
+    rng = np.random.default_rng(0)
+    _, _, lv_flat = generate_interactions_latent(
+        rng, 100, 4000, 6.0, 3, latent_dim=16, return_latents=True
+    )
+    rng = np.random.default_rng(0)
+    _, _, lv_spec = generate_interactions_latent(
+        rng, 100, 4000, 6.0, 3, latent_dim=16, spectrum=1.0,
+        return_latents=True,
+    )
+    var_flat = lv_flat.var(axis=0)
+    var_spec = lv_spec.var(axis=0)
+    # first factor inflated, last deflated, total preserved
+    assert var_spec[0] > 3.0 * var_flat[0]
+    assert var_spec[-1] < 0.3 * var_flat[-1]
+    np.testing.assert_allclose(var_spec.sum(), var_flat.sum(), rtol=0.05)
+
+
+def test_synthetic_heavy_tails():
+    """pop_df gives a heavier item-degree tail; deg_sigma a heavier
+    user-degree tail (max/mean ratios grow)."""
+    from gcn_recommendation_tpu.data.synthetic import (
+        generate_interactions_latent,
+    )
+
+    def tails(pop_df, deg_sigma):
+        rng = np.random.default_rng(3)
+        u, i = generate_interactions_latent(
+            rng, 400, 300, 10.0, 3, latent_dim=8, pop_df=pop_df,
+            deg_sigma=deg_sigma,
+        )
+        ideg = np.bincount(i, minlength=300)
+        udeg = np.bincount(u, minlength=400)
+        return ideg.max() / max(1e-9, ideg.mean()), udeg.max() / udeg.mean()
+
+    light_i, light_u = tails(None, 0.5)
+    heavy_i, heavy_u = tails(2.5, 1.0)
+    assert heavy_i > light_i
+    assert heavy_u > 1.5 * light_u
+
+
+def test_misleading_embeddings_conflict_with_taste(tmp_path):
+    """emb_style='mislead' content must NOT reconstruct the item factors
+    (it carries a permuted item's structure), unlike informative."""
+    from gcn_recommendation_tpu.data.synthetic import (
+        generate_interactions_latent,
+        informative_item_embeddings,
+        misleading_item_embeddings,
+    )
+
+    rng = np.random.default_rng(0)
+    _, _, lv = generate_interactions_latent(
+        rng, 200, 150, 8.0, 3, latent_dim=8, return_latents=True
+    )
+
+    def resid(e):
+        sol, *_ = np.linalg.lstsq(e, lv, rcond=None)
+        return float(np.linalg.norm(e @ sol - lv) / np.linalg.norm(lv))
+
+    info = informative_item_embeddings(np.random.default_rng(1), lv, 16, 0.1)
+    mis = misleading_item_embeddings(np.random.default_rng(1), lv, 16, 0.1)
+    assert resid(info) < 0.5 < 0.8 < resid(mis)

@@ -160,3 +160,96 @@ def test_error_paths(server_setup):
     assert status == 400
     status, body = _post(server.port, {"users": [0]}, path="/nope")
     assert status == 404
+    # no reload_fn configured on the module fixture server
+    status, body = _post(server.port, {}, path="/reload")
+    assert status == 501 and "error" in body
+
+
+def test_request_size_cap(tiny_bundle):
+    """An oversized /recommend is rejected with 400 before it can occupy
+    the single dispatcher thread (round-4 ADVICE)."""
+    bundle, _ = tiny_bundle
+    cfg = Config(embedding_dim=16, n_layers=2)
+    model = get_model("LightGCN")(
+        bundle.num_users, bundle.num_items, bundle.num_brands, cfg
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    retriever = Retriever.from_params(model, params, bundle)
+    server = RecommendServer(
+        retriever, bundle.num_users, port=0, max_request_users=4
+    )
+    server.start_background()
+    try:
+        status, body = _post(server.port, {"users": [0, 1, 2, 3, 0], "k": 5})
+        assert status == 400 and "too many users" in body["error"]
+        status, _ = _post(server.port, {"users": [0, 1, 2, 3], "k": 5})
+        assert status == 200
+    finally:
+        server.shutdown()
+
+
+def test_reload_swaps_retriever(tiny_bundle):
+    """POST /reload rebuilds the retriever (on the dispatcher thread)
+    and served scores change to the new model without a restart — the
+    daemon analogue of the reference's on-demand checkpoint load
+    (main.py:571)."""
+    bundle, _ = tiny_bundle
+    cfg = Config(embedding_dim=16, n_layers=2)
+    model = get_model("LightGCN")(
+        bundle.num_users, bundle.num_items, bundle.num_brands, cfg
+    )
+    params_v1 = model.init(jax.random.PRNGKey(0))
+    params_v2 = model.init(jax.random.PRNGKey(7))
+    versions = [params_v1]
+
+    def reload_fn():
+        # v2 "checkpoint" appears on the second build — stands in for a
+        # newer checkpoint landing on disk between reloads
+        return Retriever.from_params(model, versions[-1], bundle)
+
+    retriever_v1 = Retriever.from_params(model, params_v1, bundle)
+    server = RecommendServer(
+        retriever_v1, bundle.num_users, port=0, reload_fn=reload_fn
+    )
+    server.start_background()
+    try:
+        users = np.unique(bundle.train.user_idx)[:4].tolist()
+        _, before = _post(server.port, {"users": users, "k": 5})
+
+        versions.append(params_v2)
+        status, body = _post(server.port, {}, path="/reload")
+        assert status == 200 and body["status"] == "reloaded"
+
+        status, after = _post(server.port, {"users": users, "k": 5})
+        assert status == 200
+        # equality vs a directly built v2 retriever
+        retriever_v2 = Retriever.from_params(model, params_v2, bundle)
+        _, iv2 = retriever_v2.recommend(np.asarray(users, np.int32), k=5)
+        assert after["items"] == iv2.tolist()
+        assert after != before
+        _, stats = _get(server.port, "/stats")
+        assert stats["reloads"] == 1
+    finally:
+        server.shutdown()
+
+
+def test_dispatcher_skips_abandoned_requests(server_setup):
+    """A request whose handler already timed out (cancelled flag) is
+    dropped without device work and counted as abandoned (round-4
+    ADVICE)."""
+    from gcn_recommendation_tpu.server import Dispatcher, _Pending
+
+    _, retriever, bundle = server_setup
+    d = Dispatcher(retriever, max_coalesce=16)
+    dead = d.submit(_Pending(np.asarray([0], np.int32), 5, True))
+    dead.cancelled = True
+    live = d.submit(_Pending(np.asarray([1], np.int32), 5, True))
+    d.start()
+    assert live.done.wait(timeout=60) and live.error is None
+    assert dead.done.wait(timeout=5)
+    assert dead.result is None
+    with d.lock:
+        stats = dict(d.stats)
+    d.stop()
+    assert stats["abandoned"] == 1
+    assert stats["requests"] == 1  # the abandoned one is not counted

@@ -83,10 +83,39 @@ def main():
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--val_interval", type=int, default=5)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--split", choices=["random", "rank"], default=None,
+                    help="Leave-one-out mode (default: the regime's; "
+                         "'rank' = reference rating-rank protocol)")
+    ap.add_argument("--pop_df", type=float, default=None,
+                    help="Student-t df for popularity logits (heavy tail)")
+    ap.add_argument("--deg_sigma", type=float, default=None,
+                    help="Lognormal sigma of user degrees")
+    ap.add_argument("--spectrum", type=float, default=None,
+                    help="Power-law decay of taste-factor variances")
+    ap.add_argument("--pop_zipf", type=float, default=None,
+                    help="Exact-Zipf popularity exponent (overrides "
+                         "pop_df/pop_scale's distribution)")
+    ap.add_argument("--oracle", action="store_true",
+                    help="Also print the oracle recall@20 of the true "
+                         "generative scores on the val split")
     args = ap.parse_args()
+    # CLI flags for the tail/split knobs override the regime dict;
+    # unset anywhere -> generator defaults
+    cli = {k: getattr(args, k)
+           for k in ("split", "pop_df", "deg_sigma", "spectrum", "pop_zipf")
+           if getattr(args, k) is not None}
     if args.regime:
         for k, v in REGIMES[args.regime].items():
             setattr(args, k, v)
+    for k, default in (("split", "random"), ("pop_df", None),
+                       ("deg_sigma", 0.5), ("spectrum", 0.0),
+                       ("pop_zipf", None)):
+        value = cli.get(k)
+        if value is None:
+            value = getattr(args, k, None)
+        if value is None:
+            value = default
+        setattr(args, k, value)
 
     import jax
 
@@ -105,7 +134,7 @@ def main():
     from gcn_recommendation_tpu.train.trainer import Trainer
 
     t0 = time.time()
-    bundle = synthetic_bundle(
+    bundle, (lu, lv, pop) = synthetic_bundle(
         num_users=args.num_users,
         num_items=args.num_items,
         num_brands=args.num_brands,
@@ -116,19 +145,69 @@ def main():
         latent_dim=args.latent_dim,
         temperature=args.temperature,
         pop_scale=args.pop_scale,
+        split=args.split,
+        pop_df=args.pop_df,
+        deg_sigma=args.deg_sigma,
+        spectrum=args.spectrum,
+        pop_zipf=args.pop_zipf,
+        return_latents=True,
     )
+    import numpy as np
+
+    item_deg = np.bincount(bundle.train.item_idx, minlength=bundle.num_items)
     print(
         f"bundle: users={bundle.num_users} items={bundle.num_items} "
         f"train={len(bundle.train)} nnz={bundle.graph.nnz} "
+        f"split={args.split} pop_df={args.pop_df} deg_sigma={args.deg_sigma} "
+        f"item-deg p50/p90/max={int(np.percentile(item_deg, 50))}/"
+        f"{int(np.percentile(item_deg, 90))}/{int(item_deg.max())} "
         f"({time.time() - t0:.1f}s)",
         flush=True,
     )
+    if args.oracle:
+        # recall@20 of ranking by the TRUE generative scores with train
+        # items masked — the ceiling no trained model can beat; regimes
+        # must be calibrated so the band sits safely below it
+        hits = 0
+        k = 20
+        train_sets = {}
+        for u, i in zip(bundle.train.user_idx, bundle.train.item_idx):
+            train_sets.setdefault(int(u), set()).add(int(i))
+        scores_all = lu @ lv.T + pop[None, :]
+        for u, i in zip(bundle.val.user_idx, bundle.val.item_idx):
+            s = scores_all[int(u)].copy()
+            seen = train_sets.get(int(u))
+            if seen:
+                s[list(seen)] = -1e10
+            top = np.argpartition(-s, k)[:k]
+            hits += int(i) in set(int(t) for t in top)
+        print(f"oracle recall@{k} (val): {hits / len(bundle.val):.4f}",
+              flush=True)
+
+    import tempfile
+
+    from gcn_recommendation_tpu.utils.logging import Logger
+
     cfg = Config(epochs=args.epochs, val_interval=args.val_interval)
     model = get_model("LightGCN")(
         bundle.num_users, bundle.num_items, bundle.num_brands, cfg
     )
-    trainer = Trainer(cfg, model, bundle)
+    logger = Logger(tempfile.mkdtemp(prefix="calib_"), "calib",
+                    top_k=cfg.top_k)
+    trainer = Trainer(cfg, model, bundle, logger=logger)
     trainer.fit()
+    hist = logger.history
+    if hist["epoch"]:
+        recalls = np.asarray(hist["recall"])
+        epochs = np.asarray(hist["epoch"])
+        best = int(np.argmax(recalls))
+        hold = recalls[-1] / max(recalls[best], 1e-12)
+        print(
+            f"SUMMARY best R@{cfg.top_k}={recalls[best]:.4f} "
+            f"(ep{epochs[best]}) final={recalls[-1]:.4f} (ep{epochs[-1]}) "
+            f"hold={hold:.3f} peak_frac={epochs[best] / epochs[-1]:.2f}",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -125,20 +125,36 @@ def duplicate_spread(df: pd.DataFrame) -> float:
     return max(spreads) if spreads else 0.0
 
 
-def fmt_table(df: pd.DataFrame) -> str:
+def fmt_table(df: pd.DataFrame, ref_suffixes=None) -> str:
+    """``ref_suffixes``: the (tag, suffix) pairs present in the paired
+    reference grid — codes absent there are framework-added (e.g. the
+    dense ``lase_*`` variance-band reruns) and get a dagger label."""
     if df.empty:
         return "_(no runs found)_\n"
     lines = [
         "| code | best R@20 (ep) | best N@20 | final R / N | curve shape |",
         "|---|---|---|---|---|",
     ]
+    dagger = False
     for r in df.sort_values("code").itertuples():
+        mark = ""
+        if ref_suffixes is not None and (
+            (_tag(r.code), _suffix(r.code)) not in ref_suffixes
+        ):
+            mark, dagger = " †", True
         lines.append(
-            f"| `{r.code}` | {r.best_recall:.4f} (ep{r.best_epoch}) | "
+            f"| `{r.code}`{mark} | {r.best_recall:.4f} (ep{r.best_epoch}) | "
             f"{r.best_ndcg:.4f} | {r.final_recall:.4f} / {r.final_ndcg:.4f} | "
             f"{r.shape} |"
         )
-    return "\n".join(lines) + "\n"
+    text = "\n".join(lines) + "\n"
+    if dagger:
+        text += (
+            "\n† framework-added run with no same-code reference "
+            "counterpart (duplicate-config rerun for the variance band, "
+            "or a variant the reference grid omits for this dataset).\n"
+        )
+    return text
 
 
 def fmt_orderings(ours: dict, refs: dict, band: float = 3e-3) -> str:
@@ -149,6 +165,12 @@ def fmt_orderings(ours: dict, refs: dict, band: float = 3e-3) -> str:
         "fus_vs_emb": "Fusion vs emb-init",
         "fus_uplift": "Fusion vs base",
     }
+    if not any(k in ours or k in refs for k in keys):
+        return (
+            "n/a — single-code regime (the reference commits exactly one "
+            "run for this dataset, so there are no variant relations to "
+            "compare).\n"
+        )
     lines = [
         "| relation | this framework | reference | same sign? |",
         "|---|---|---|---|",
@@ -247,7 +269,11 @@ def main():
         ref = read_runs(os.path.join(REFERENCE, ref_dir))
         out.append(f"\n## {ours_dir} ↔ reference `{ref_dir}/` — {desc}\n")
         out.append(f"### This framework ({ours_dir})\n")
-        out.append(fmt_table(ours))
+        ref_suffixes = (
+            {(_tag(r.code), _suffix(r.code)) for r in ref.itertuples()}
+            if not ref.empty else None
+        )
+        out.append(fmt_table(ours, ref_suffixes=ref_suffixes))
         out.append(f"\n### Reference ({ref_dir})\n")
         out.append(fmt_table(ref))
         out.append("\n### Variant orderings\n")

@@ -88,6 +88,12 @@ def generate(regime: str, core: int = 16, seed: int = 42,
         pop_scale=spec.get("pop_scale", 0.5),
         emb_noise=EMB_NOISE[regime] if emb_noise is None else emb_noise,
         brand_style=BRAND_STYLE,
+        split=spec.get("split", "random"),
+        pop_df=spec.get("pop_df"),
+        pop_zipf=spec.get("pop_zipf"),
+        deg_sigma=spec.get("deg_sigma", 0.5),
+        spectrum=spec.get("spectrum", 0.0),
+        emb_style=spec.get("emb_style", "informative"),
     )
     print(f"[{regime}] dataset written to {out}", flush=True)
     return out
