@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Propagation storage dtype; bfloat16 halves the "
                              "propagated block's HBM footprint (f32 accumulate, "
                              "see PERF.md for measured accuracy impact).")
+        sp.add_argument("--tile_spmm", action="store_true",
+                        help="Pallas block-sparse tile propagation for the "
+                             "dense row-block mass of heavy-tailed graphs "
+                             "(graph/tiles.py; single-device only).")
+        sp.add_argument("--tile_min_fill", type=int, default=64,
+                        help="Break-even edge count per 128x128 tile.")
         sp.add_argument("--profile_dir", type=str, default=None,
                         help="Write jax.profiler traces (one per epoch) under "
                              "this dir for TensorBoard/xprof; equivalent to "
@@ -182,6 +188,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Lognormal sigma of per-user degrees.")
     pr.add_argument("--spectrum", type=float, default=0.0,
                     help="Power-law decay of taste-factor variances.")
+    pr.add_argument("--rank_key", type=str, default="full",
+                    choices=["full", "taste"],
+                    help="Rank-split ordering key: 'taste' ranks by the "
+                         "taste score alone (rating-rank analogue; "
+                         "popularity excluded), 'full' by the sampling "
+                         "key.")
     pr.add_argument("--emb_style", type=str, default="informative",
                     choices=["informative", "mislead"],
                     help="'mislead' writes content embeddings that "
@@ -212,6 +224,8 @@ def _make_config(args):
         seed=args.seed,
         debug_nans=getattr(args, "debug_nans", False),
         compute_dtype=getattr(args, "compute_dtype", "float32"),
+        tile_spmm=getattr(args, "tile_spmm", False),
+        tile_min_fill=getattr(args, "tile_min_fill", 64),
     )
     if getattr(args, "output_root", None):
         kwargs["checkpoint_dir"] = os.path.join(

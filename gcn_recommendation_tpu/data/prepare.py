@@ -447,6 +447,7 @@ def run_recipe(args) -> int:
             deg_sigma=getattr(args, "deg_sigma", 0.5),
             emb_style=getattr(args, "emb_style", "informative"),
             spectrum=getattr(args, "spectrum", 0.0) or 0.0,
+            rank_key=getattr(args, "rank_key", "full") or "full",
         )
         print(f"Synthetic dataset written to {out}")
         return 0

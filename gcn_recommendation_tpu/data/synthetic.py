@@ -42,6 +42,7 @@ def generate_interactions_latent(
     return_state: bool = False,
     spectrum: float = 0.0,
     pop_zipf: Optional[float] = None,
+    rank_key: str = "full",
 ):
     """Sample interactions from a latent-factor taste model.
 
@@ -94,6 +95,18 @@ def generate_interactions_latent(
     order, which its split consumes via rating-rank
     (dataset/amazon_books/prepare_data.py:95-97).  Callers implementing
     rank-based splits rely on this ordering.
+
+    ``rank_key`` selects what that ordering ranks by: ``'full'`` uses
+    the same sampling key (taste + popularity + Gumbel noise), so a
+    user's rank-1 item skews toward globally popular items — a model
+    that merely learns popularity nails the rank split within a few
+    epochs, the early-peak failure of REGIMES.md divergence #1.
+    ``'taste'`` orders by the taste score ``u . v`` alone, the analogue
+    of the reference's RATING rank (ratings reflect how much the user
+    liked the item, not how popular it is): the rank-1 test item is
+    then predictable only through the collaborative structure, which a
+    spectrum-tailed factor model keeps revealing for >100 epochs — the
+    late-climb-and-hold shape of every reference curve.
     """
     lu = rng.standard_normal((num_users, latent_dim)) / np.sqrt(latent_dim)
     lv = rng.standard_normal((num_items, latent_dim)) / np.sqrt(latent_dim)
@@ -129,12 +142,17 @@ def generate_interactions_latent(
         keys = scores + gumbel
         # top-max_deg per row, then trim to each user's degree
         top = np.argpartition(-keys, max_deg - 1, axis=1)[:, :max_deg]
+        if rank_key == "taste":
+            taste = lu[lo:hi] @ lv.T
         for r, u in enumerate(range(lo, hi)):
             d = deg[u]
-            row = top[r]
-            order = np.argsort(-keys[r, row])[:d]
+            # the drawn set is always top-d by the SAMPLING key ...
+            row = top[r][np.argsort(-keys[r, top[r]])[:d]]
+            if rank_key == "taste":
+                # ... but the rating-rank ordering ranks by taste alone
+                row = row[np.argsort(-taste[r, row])]
             users_out.append(np.full(d, u, np.int64))
-            items_out.append(row[order].astype(np.int64))
+            items_out.append(row.astype(np.int64))
     users = np.concatenate(users_out)
     items = np.concatenate(items_out)
     if return_state:
@@ -269,6 +287,7 @@ def generate_synthetic_dataset(
     emb_style: str = "informative",
     spectrum: float = 0.0,
     pop_zipf: Optional[float] = None,
+    rank_key: str = "full",
 ) -> str:
     """Write a synthetic processed dataset; returns the output dir.
 
@@ -308,7 +327,7 @@ def generate_synthetic_dataset(
             latent_dim=latent_dim, temperature=temperature,
             pop_scale=pop_scale, return_latents=True,
             pop_df=pop_df, deg_sigma=deg_sigma, spectrum=spectrum,
-            pop_zipf=pop_zipf,
+            pop_zipf=pop_zipf, rank_key=rank_key,
         )
     else:
         users, items = generate_interactions(
@@ -405,6 +424,7 @@ def synthetic_bundle(
     return_latents: bool = False,
     spectrum: float = 0.0,
     pop_zipf: Optional[float] = None,
+    rank_key: str = "full",
 ):
     """Build a DataBundle fully in memory (no parquet round-trip).
 
@@ -432,7 +452,8 @@ def synthetic_bundle(
             rng, num_users, num_items, mean_degree, core,
             latent_dim=latent_dim, temperature=temperature,
             pop_scale=pop_scale, pop_df=pop_df, deg_sigma=deg_sigma,
-            spectrum=spectrum, pop_zipf=pop_zipf, return_state=True,
+            spectrum=spectrum, pop_zipf=pop_zipf, rank_key=rank_key,
+            return_state=True,
         )
     else:
         if split == "rank":

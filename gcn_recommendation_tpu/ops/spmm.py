@@ -297,6 +297,13 @@ def propagate(emb: jax.Array, graph, num_nodes: int, *, path: str = "ell"):
     source-chunked layout — see the gather knee notes below).
     ``path``: 'ell' (TPU-native, default) or 'coo' (segment_sum fallback).
     """
+    from gcn_recommendation_tpu.ops.block_spmm import (
+        TiledDeviceGraph,
+        propagate_ell_tiles,
+    )
+
+    if isinstance(graph, TiledDeviceGraph):
+        return propagate_ell_tiles(emb, graph.base, graph.tiles)
     if isinstance(graph, ChunkedDeviceGraph):
         return propagate_chunked(
             emb,

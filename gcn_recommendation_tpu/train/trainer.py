@@ -147,6 +147,37 @@ class Trainer:
             print(f"Graph: source-chunked gathers ({n_chunks} chunks — "
                   f"embedding block above the gather knee, see PERF.md)")
             return to_device_chunked_graph(g, n_chunks, compute_dtype=cdtype)
+        if getattr(self.config, "tile_spmm", False):
+            from gcn_recommendation_tpu.graph.tiles import partition_tiles
+            from gcn_recommendation_tpu.ops.block_spmm import (
+                TiledDeviceGraph,
+                to_device_tiles,
+            )
+
+            part = partition_tiles(
+                g, min_fill=int(self.config.tile_min_fill)
+            )
+            if part is not None:
+                print(
+                    f"Graph: Pallas tile partition — {part.num_tiles} tiles "
+                    f"cover {part.covered_edges:,}/{g.nnz:,} edges "
+                    f"({part.covered_edges / max(g.nnz, 1) * 100:.1f}%), "
+                    f"{part.n_row_blocks} row blocks (see PERF.md)"
+                )
+                return TiledDeviceGraph(
+                    base=to_device_graph(
+                        part.residual, compute_dtype=cdtype,
+                        fuse_layers=False,
+                    ),
+                    tiles=to_device_tiles(
+                        part,
+                        tile_dtype=jnp.dtype(
+                            getattr(self.config, "tile_dtype", "float32")
+                        ),
+                    ),
+                )
+            print("Graph: tile partition empty at min_fill="
+                  f"{self.config.tile_min_fill}; using the ELL path")
         return to_device_graph(
             g, compute_dtype=cdtype, fuse_layers=self.graph_fuse_layers
         )

@@ -544,3 +544,46 @@ def test_misleading_embeddings_conflict_with_taste(tmp_path):
     info = informative_item_embeddings(np.random.default_rng(1), lv, 16, 0.1)
     mis = misleading_item_embeddings(np.random.default_rng(1), lv, 16, 0.1)
     assert resid(info) < 0.5 < 0.8 < resid(mis)
+
+
+def test_synthetic_rank_key_taste_orders_by_taste_not_popularity():
+    """rank_key='taste' must (a) draw the SAME interaction set as
+    rank_key='full' for the same seed (the knob only reorders rows, it
+    must not change which items a user has), and (b) order each user's
+    rows by the taste score u.v alone — so the rank-1 item is the
+    taste-best item of the drawn set, NOT the popularity-boosted
+    sampling-key winner (the rating-rank analogue: ratings reflect
+    liking, not popularity — dataset/amazon_books/prepare_data.py:95-97)."""
+    from gcn_recommendation_tpu.data.synthetic import (
+        generate_interactions_latent,
+    )
+
+    kw = dict(num_users=150, num_items=120, mean_degree=10.0, core=3,
+              latent_dim=8, pop_zipf=0.8, deg_sigma=0.8)
+    rng1 = np.random.default_rng(7)
+    u_f, i_f, (lu, lv, pop) = generate_interactions_latent(
+        rng1, rank_key="full", return_state=True, **kw)
+    rng2 = np.random.default_rng(7)
+    u_t, i_t, _ = generate_interactions_latent(
+        rng2, rank_key="taste", return_state=True, **kw)
+
+    # (a) same multiset of (user, item) pairs
+    key_f = np.sort(u_f.astype(np.int64) * 1_000_000 + i_f)
+    key_t = np.sort(u_t.astype(np.int64) * 1_000_000 + i_t)
+    np.testing.assert_array_equal(key_f, key_t)
+
+    # (b) per-user rows are in descending TASTE order under 'taste'
+    taste = lu @ lv.T
+    for u in np.unique(u_t)[:50]:
+        rows = i_t[u_t == u]
+        vals = taste[int(u), rows]
+        assert np.all(np.diff(vals) <= 1e-9)
+
+    # and under 'full' the first row is the sampling-key winner, which
+    # with a strong Zipf popularity term is typically NOT taste-best
+    mismatch = 0
+    for u in np.unique(u_f)[:100]:
+        rows = i_f[u_f == u]
+        if taste[int(u), rows[0]] < taste[int(u), rows].max() - 1e-9:
+            mismatch += 1
+    assert mismatch > 20

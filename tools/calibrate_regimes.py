@@ -95,6 +95,9 @@ def main():
     ap.add_argument("--pop_zipf", type=float, default=None,
                     help="Exact-Zipf popularity exponent (overrides "
                          "pop_df/pop_scale's distribution)")
+    ap.add_argument("--rank_key", choices=["full", "taste"], default=None,
+                    help="Rank-split ordering key ('taste' = rating-rank "
+                         "analogue, popularity excluded)")
     ap.add_argument("--oracle", action="store_true",
                     help="Also print the oracle recall@20 of the true "
                          "generative scores on the val split")
@@ -102,14 +105,15 @@ def main():
     # CLI flags for the tail/split knobs override the regime dict;
     # unset anywhere -> generator defaults
     cli = {k: getattr(args, k)
-           for k in ("split", "pop_df", "deg_sigma", "spectrum", "pop_zipf")
+           for k in ("split", "pop_df", "deg_sigma", "spectrum", "pop_zipf",
+                     "rank_key")
            if getattr(args, k) is not None}
     if args.regime:
         for k, v in REGIMES[args.regime].items():
             setattr(args, k, v)
     for k, default in (("split", "random"), ("pop_df", None),
                        ("deg_sigma", 0.5), ("spectrum", 0.0),
-                       ("pop_zipf", None)):
+                       ("pop_zipf", None), ("rank_key", "full")):
         value = cli.get(k)
         if value is None:
             value = getattr(args, k, None)
@@ -150,6 +154,7 @@ def main():
         deg_sigma=args.deg_sigma,
         spectrum=args.spectrum,
         pop_zipf=args.pop_zipf,
+        rank_key=args.rank_key,
         return_latents=True,
     )
     import numpy as np
@@ -158,7 +163,8 @@ def main():
     print(
         f"bundle: users={bundle.num_users} items={bundle.num_items} "
         f"train={len(bundle.train)} nnz={bundle.graph.nnz} "
-        f"split={args.split} pop_df={args.pop_df} deg_sigma={args.deg_sigma} "
+        f"split={args.split} rank_key={args.rank_key} "
+        f"pop_df={args.pop_df} deg_sigma={args.deg_sigma} "
         f"item-deg p50/p90/max={int(np.percentile(item_deg, 50))}/"
         f"{int(np.percentile(item_deg, 90))}/{int(item_deg.max())} "
         f"({time.time() - t0:.1f}s)",

@@ -52,14 +52,95 @@ def tile_stats(u, i, nu, ni, name):
     return frac
 
 
+def hub_split_stats(u, i, nu, ni, hub_threshold=512):
+    """Round-4 partition model: hub-destination edges go to the dense
+    path; only non-hub edges are candidates for tiling.  Report tile
+    coverage of the NON-HUB edges after degree sorting (the round-5
+    decision rule: wire the Pallas path only if >60% of non-hub edges
+    land in break-even tiles — VERDICT.md r4 #6)."""
+    di = np.bincount(i, minlength=ni)
+    hub = di[i] >= hub_threshold
+    frac_hub = hub.mean()
+    uu, ii = u[~hub], i[~hub]
+    print(f"  hub edges (item deg>={hub_threshold}): {frac_hub*100:.1f}%",
+          flush=True)
+    du = np.bincount(uu, minlength=nu)
+    dii = np.bincount(ii, minlength=ni)
+    pu = np.empty(nu, np.int64); pu[np.argsort(-du)] = np.arange(nu)
+    pi = np.empty(ni, np.int64); pi[np.argsort(-dii)] = np.arange(ni)
+    tile_stats(pu[uu], pi[ii], nu, ni, "  non-hub deg-sorted")
+
+
+def pair_coverage(u, i, nu, ni, sample_per_user=32, seed=0):
+    """Greedy co-occurrence pair packing coverage (PERF.md 'co-occurrence
+    pair packing'): fraction of edges (u, i) whose item's matched partner
+    ALSO appears in u's list — each such pair of edges could be served by
+    one gathered [128]-lane paired row instead of two.  ~20% coverage is
+    the break-even from the round-3 study; the round-4 bench graphs
+    measured 3-7%."""
+    rng = np.random.default_rng(seed)
+    order = np.argsort(u, kind="stable")
+    us, isrt = u[order], i[order]
+    starts = np.searchsorted(us, np.arange(nu))
+    ends = np.searchsorted(us, np.arange(nu) + 1)
+    # co-occurrence counts on a per-user sample (hub users capped),
+    # vectorized: emit all within-user pair keys, then unique+count
+    keys = []
+    tri = np.triu_indices(sample_per_user, k=1)
+    for a, b in zip(starts, ends):
+        row = isrt[a:b]
+        if len(row) > sample_per_user:
+            row = rng.choice(row, sample_per_user, replace=False)
+        row = np.sort(row)
+        n = len(row)
+        if n < 2:
+            continue
+        x, y = tri
+        m = y < n
+        keys.append(row[x[m]].astype(np.int64) * ni + row[y[m]])
+    allk = np.concatenate(keys)
+    uk, cnt = np.unique(allk, return_counts=True)
+    srt = np.argsort(-cnt)
+    # greedy disjoint matching by count
+    partner = np.full(ni, -1, np.int64)
+    for k in uk[srt]:
+        a, b = int(k // ni), int(k % ni)
+        if partner[a] < 0 and partner[b] < 0:
+            partner[a] = b
+            partner[b] = a
+    # true coverage over ALL edges: edge (u,i) covered iff partner[i]
+    # is also one of u's items
+    covered = 0
+    for a, b in zip(starts, ends):
+        row = isrt[a:b]
+        p = partner[row]
+        ok = p >= 0
+        if ok.any():
+            covered += int(np.isin(p[ok], row).sum())
+    print(f"  pair-packing coverage: {covered / len(u) * 100:.1f}% of edges "
+          f"(break-even ~20%)", flush=True)
+
+
 def main():
     from gcn_recommendation_tpu.data.synthetic import synthetic_bundle
 
-    for style in ("popularity", "latent"):
+    # 'heavy' = the round-5 curve-shape generator (exact-Zipf popularity,
+    # heavy user-degree tail, spectrum-tailed factors — the books-regime
+    # knobs of tools/calibrate_regimes.py) at bench scale: the round-4
+    # rejections of block-sparse/pair-packing carried the caveat
+    # "revisit on data with stronger co-clustering", which these graphs
+    # are the framework's closest analogue of.
+    for style in ("popularity", "latent", "heavy"):
         print(f"--- {style} graph (bench scale) ---", flush=True)
+        kw = {}
+        if style == "heavy":
+            kw = dict(style="latent", pop_zipf=0.6, deg_sigma=1.0,
+                      spectrum=1.0, split="rank", rank_key="taste")
+        else:
+            kw = dict(style=style)
         bundle = synthetic_bundle(
             num_users=50_000, num_items=20_000, num_brands=2_000,
-            mean_degree=28.0, core=8, seed=42, style=style,
+            mean_degree=28.0, core=8, seed=42, **kw,
         )
         u = bundle.train.user_idx.astype(np.int64)
         i = bundle.train.item_idx.astype(np.int64)
@@ -110,6 +191,9 @@ def main():
         pu = np.empty(nu, np.int64); pu[np.lexsort((np.arange(nu), cu))] = np.arange(nu)
         pi = np.empty(ni, np.int64); pi[np.lexsort((np.arange(ni), ci))] = np.arange(ni)
         tile_stats(pu[u], pi[i], nu, ni, "co-clustered")
+
+        hub_split_stats(u, i, nu, ni)
+        pair_coverage(u, i, nu, ni)
 
 
 if __name__ == "__main__":

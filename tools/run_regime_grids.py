@@ -94,6 +94,7 @@ def generate(regime: str, core: int = 16, seed: int = 42,
         deg_sigma=spec.get("deg_sigma", 0.5),
         spectrum=spec.get("spectrum", 0.0),
         emb_style=spec.get("emb_style", "informative"),
+        rank_key=spec.get("rank_key", "full"),
     )
     print(f"[{regime}] dataset written to {out}", flush=True)
     return out
