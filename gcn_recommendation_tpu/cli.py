@@ -194,6 +194,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "taste score alone (rating-rank analogue; "
                          "popularity excluded), 'full' by the sampling "
                          "key.")
+    pr.add_argument("--taste_style", type=str, default="gaussian",
+                    choices=["gaussian", "cluster"],
+                    help="Factor-loading distribution: 'cluster' gives "
+                         "community-structured interactions (latent_dim = "
+                         "community count) - the real-co-purchase curve-"
+                         "shape mechanism, see REGIMES.md.")
+    pr.add_argument("--clusters_per_user", type=int, default=3)
     pr.add_argument("--emb_style", type=str, default="informative",
                     choices=["informative", "mislead"],
                     help="'mislead' writes content embeddings that "

@@ -448,6 +448,8 @@ def run_recipe(args) -> int:
             emb_style=getattr(args, "emb_style", "informative"),
             spectrum=getattr(args, "spectrum", 0.0) or 0.0,
             rank_key=getattr(args, "rank_key", "full") or "full",
+            taste_style=getattr(args, "taste_style", "gaussian") or "gaussian",
+            clusters_per_user=getattr(args, "clusters_per_user", 3) or 3,
         )
         print(f"Synthetic dataset written to {out}")
         return 0

@@ -43,6 +43,8 @@ def generate_interactions_latent(
     spectrum: float = 0.0,
     pop_zipf: Optional[float] = None,
     rank_key: str = "full",
+    taste_style: str = "gaussian",
+    clusters_per_user: int = 3,
 ):
     """Sample interactions from a latent-factor taste model.
 
@@ -107,9 +109,48 @@ def generate_interactions_latent(
     then predictable only through the collaborative structure, which a
     spectrum-tailed factor model keeps revealing for >100 epochs — the
     late-climb-and-hold shape of every reference curve.
+
+    ``taste_style`` selects the loading distribution of the factor
+    model:
+
+    * ``'gaussian'`` — dense i.i.d. loadings (the original model).
+      Every round-5 probe of this style decays 12-25% post-peak
+      regardless of dim/spectrum/temperature/density: with diffuse
+      loadings, BPR sharpening on observed pairs always displaces the
+      held-out item's score mass (REGIMES.md divergence #1).
+    * ``'cluster'`` — community structure, the statistical signature of
+      real co-purchase data: ``latent_dim`` becomes the number of item
+      communities; each item loads on ONE community (plus small
+      Gaussian jitter), each user on ``clusters_per_user`` random
+      communities with Dirichlet-ish weights.  Taste u.v is then "how
+      much u likes i's community": train and held-out items of the same
+      community share their score trajectory, so fitting train pairs
+      harder keeps LIFTING the held-out item instead of displacing it —
+      memorization IS generalization, the property behind the
+      reference's curves (loss falls 3.3x across 150 epochs while
+      recall climbs monotonically — exp_books base_150e20c_nob).
     """
-    lu = rng.standard_normal((num_users, latent_dim)) / np.sqrt(latent_dim)
-    lv = rng.standard_normal((num_items, latent_dim)) / np.sqrt(latent_dim)
+    if taste_style == "cluster":
+        # item communities: one-hot loading + jitter; community sizes
+        # follow the same popularity machinery via the pop logits below
+        comm = rng.integers(0, latent_dim, num_items)
+        lv = 0.25 * rng.standard_normal((num_items, latent_dim)) / np.sqrt(
+            latent_dim
+        )
+        lv[np.arange(num_items), comm] += 1.0
+        lu = np.zeros((num_users, latent_dim))
+        k = min(clusters_per_user, latent_dim)
+        for u in range(num_users):
+            cs = rng.choice(latent_dim, size=k, replace=False)
+            wts = np.sort(rng.dirichlet(np.ones(k)))[::-1]
+            lu[u, cs] = wts
+        # normalize the taste-score scale to ~unit std so temperature
+        # calibrations transfer between styles
+        s = (lu @ lv.T).std()
+        lu /= max(s, 1e-9)
+    else:
+        lu = rng.standard_normal((num_users, latent_dim)) / np.sqrt(latent_dim)
+        lv = rng.standard_normal((num_items, latent_dim)) / np.sqrt(latent_dim)
     if spectrum:
         w = (1.0 + np.arange(latent_dim)) ** (-float(spectrum))
         # keep sum(w^2) = latent_dim so the taste-score std (and hence
@@ -288,6 +329,8 @@ def generate_synthetic_dataset(
     spectrum: float = 0.0,
     pop_zipf: Optional[float] = None,
     rank_key: str = "full",
+    taste_style: str = "gaussian",
+    clusters_per_user: int = 3,
 ) -> str:
     """Write a synthetic processed dataset; returns the output dir.
 
@@ -328,6 +371,7 @@ def generate_synthetic_dataset(
             pop_scale=pop_scale, return_latents=True,
             pop_df=pop_df, deg_sigma=deg_sigma, spectrum=spectrum,
             pop_zipf=pop_zipf, rank_key=rank_key,
+            taste_style=taste_style, clusters_per_user=clusters_per_user,
         )
     else:
         users, items = generate_interactions(
@@ -425,6 +469,8 @@ def synthetic_bundle(
     spectrum: float = 0.0,
     pop_zipf: Optional[float] = None,
     rank_key: str = "full",
+    taste_style: str = "gaussian",
+    clusters_per_user: int = 3,
 ):
     """Build a DataBundle fully in memory (no parquet round-trip).
 
@@ -453,6 +499,7 @@ def synthetic_bundle(
             latent_dim=latent_dim, temperature=temperature,
             pop_scale=pop_scale, pop_df=pop_df, deg_sigma=deg_sigma,
             spectrum=spectrum, pop_zipf=pop_zipf, rank_key=rank_key,
+            taste_style=taste_style, clusters_per_user=clusters_per_user,
             return_state=True,
         )
     else:

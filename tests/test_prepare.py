@@ -587,3 +587,32 @@ def test_synthetic_rank_key_taste_orders_by_taste_not_popularity():
         if taste[int(u), rows[0]] < taste[int(u), rows].max() - 1e-9:
             mismatch += 1
     assert mismatch > 20
+
+
+def test_synthetic_cluster_taste_style():
+    """taste_style='cluster' must produce community structure: each
+    user's interactions concentrate in a few item communities (the
+    memorization-is-generalization property of real co-purchase data,
+    REGIMES.md divergence #1), and the taste-score scale stays ~unit so
+    temperature calibrations transfer between styles."""
+    from gcn_recommendation_tpu.data.synthetic import (
+        generate_interactions_latent,
+    )
+
+    rng = np.random.default_rng(5)
+    n_comm = 25
+    u, i, (lu, lv, pop) = generate_interactions_latent(
+        rng, 400, 500, 12.0, 3, latent_dim=n_comm, taste_style="cluster",
+        clusters_per_user=3, temperature=0.3, rank_key="taste",
+        return_state=True,
+    )
+    assert abs(float((lu @ lv.T).std()) - 1.0) < 0.15
+    # recover each item's community from its dominant loading
+    comm = lv.argmax(1)
+    # per-user: the top-3 communities should hold most interactions
+    fracs = []
+    for user in np.unique(u)[:100]:
+        cs = comm[i[u == user]]
+        top3 = np.sort(np.bincount(cs, minlength=n_comm))[-3:].sum()
+        fracs.append(top3 / len(cs))
+    assert np.median(fracs) > 0.6

@@ -34,22 +34,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # committed regime definitions (calibrated with this tool; the books
 # regime is the existing exp_synth dataset, shown for reference)
 REGIMES = {
+    # books: the committed exp_synth/ grid's recipe.  Round 5 probed 20
+    # single-lever variants against the reference's late-climb-and-hold
+    # curve shape (REGIMES.md divergence #1 table): rank/taste split,
+    # Zipf tails, factor spectrum, generator dims to 512, density,
+    # catalog scale — none escapes the 10-25% post-peak decay within the
+    # books band under Gaussian loadings; taste_style='cluster' posts
+    # the best hold (0.935) and is the shape mechanism to re-band on in
+    # a future recalibration.
     "books": dict(num_users=10000, num_items=5000, num_brands=200,
                   mean_degree=25.0, latent_dim=16, temperature=0.35,
                   pop_scale=0.5),
     # dense steam-like: popularity-concentrated taste.  Calibrated
     # against the ORACLE recall (top-20 by true preference scores given
-    # the realized draws — the ceiling no amount of training can beat):
-    # temp 0.27 / pop 1.0 gives oracle 0.685, and the 150-epoch TPU run
-    # climbs to 0.647 at ep150 — matching the reference exp/ band (best
-    # 0.662 at ep135) in value AND curve shape (slow climb, late best).
-    # An earlier temp-0.18 setting plateaued in-band at ep30 but its
-    # near-deterministic draws put the oracle at 0.86, so long training
-    # blew past the band (0.76 by ep150) — anchor on the oracle, not an
-    # early plateau.
+    # the realized draws — the ceiling no amount of training can beat).
+    # Round-5 recalibration (VERDICT r4 weak #1): mean_degree 50 -> 100
+    # doubles examples/parameter so base CONVERGES by ep135 like the
+    # reference's dense runs do (measured probe: oracle 0.668, best
+    # 0.6365 at ep135, final 0.6355, hold 0.998 — reference exp/ best
+    # 0.662 at ep135, hold ~1.0).  The old deg-50 recipe sat in-band at
+    # ep150 but was still climbing (300-epoch extension reached 0.6703
+    # at ep265), which made every faster-converging init variant show a
+    # fake "uplift" at the ep150 protocol cutoff.
     "dense": dict(num_users=6000, num_items=2500, num_brands=100,
-                  mean_degree=50.0, latent_dim=8, temperature=0.27,
-                  pop_scale=1.0),
+                  mean_degree=100.0, latent_dim=8, temperature=0.27,
+                  pop_scale=1.0, emb_style="mislead"),
     # weak-signal regime: TPU-calibrated to the reference exp_zno band
     # (best R@20 0.058-0.062 across its duplicate runs) — temperature
     # 0.40/dim 20 measures 0.057 at convergence (flat from epoch 5),
@@ -95,6 +104,11 @@ def main():
     ap.add_argument("--pop_zipf", type=float, default=None,
                     help="Exact-Zipf popularity exponent (overrides "
                          "pop_df/pop_scale's distribution)")
+    ap.add_argument("--taste_style", choices=["gaussian", "cluster"],
+                    default=None,
+                    help="Factor-loading distribution ('cluster' = item "
+                         "communities; latent_dim = community count)")
+    ap.add_argument("--clusters_per_user", type=int, default=None)
     ap.add_argument("--rank_key", choices=["full", "taste"], default=None,
                     help="Rank-split ordering key ('taste' = rating-rank "
                          "analogue, popularity excluded)")
@@ -106,14 +120,16 @@ def main():
     # unset anywhere -> generator defaults
     cli = {k: getattr(args, k)
            for k in ("split", "pop_df", "deg_sigma", "spectrum", "pop_zipf",
-                     "rank_key")
+                     "rank_key", "taste_style", "clusters_per_user")
            if getattr(args, k) is not None}
     if args.regime:
         for k, v in REGIMES[args.regime].items():
             setattr(args, k, v)
     for k, default in (("split", "random"), ("pop_df", None),
                        ("deg_sigma", 0.5), ("spectrum", 0.0),
-                       ("pop_zipf", None), ("rank_key", "full")):
+                       ("pop_zipf", None), ("rank_key", "full"),
+                       ("taste_style", "gaussian"),
+                       ("clusters_per_user", 3)):
         value = cli.get(k)
         if value is None:
             value = getattr(args, k, None)
@@ -155,6 +171,8 @@ def main():
         spectrum=args.spectrum,
         pop_zipf=args.pop_zipf,
         rank_key=args.rank_key,
+        taste_style=args.taste_style,
+        clusters_per_user=args.clusters_per_user,
         return_latents=True,
     )
     import numpy as np

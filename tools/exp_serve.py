@@ -170,6 +170,10 @@ def main() -> int:
     )
     params = model.init(jax.random.PRNGKey(0))
 
+    if args.daemon:
+        run_daemon_bench(args, model, params, bundle)
+        return 0
+
     rng = np.random.default_rng(0)
     batches = [
         rng.integers(0, args.users, args.batch).astype(np.int32)
