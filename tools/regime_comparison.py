@@ -202,10 +202,10 @@ EPILOGUE = """
 
 What matches: every regime's absolute recall band, the books emb-init
 uplift sign and scale, the books/zno brand-delta ≈ 0, the sport Fusion
-early peak epoch, and — since the round-5 recalibration — the dense
-regime's full curve shape (base converges by ep135 and holds, like the
-reference's exp/ runs; see the dense table above).  What does not, with
-the attribution:
+early peak epoch, and — under the round-5 recalibrated dense recipe
+(committed in tools/calibrate_regimes.py; measured probe + one
+confirming grid run, see divergence 3) — the dense curve shape.  What
+does not, with the attribution:
 
 1. **Post-peak decay in the sparse synthetic regimes (round-5: deeply
    probed, mechanism identified, not yet recalibrated).**  Our sparse
@@ -257,12 +257,18 @@ the attribution:
    matrix switched to MISLEADING (emb_style='mislead': row-permuted
    factors, strong but taste-unrelated) to attempt the reference's
    dense Fusion collapse (0.6255 -> 0.5364), which pure-noise content
-   cannot produce.  The regenerated dense table above carries the
-   resulting signs.
+   cannot produce.  A confirming full grid run of the brand variant on
+   the new recipe reproduced the probe's shape (0.5092 at ep5 climbing
+   to 0.6348 at ep125, converging) before the round's TPU window
+   closed; the dense table above still shows the round-4 grid — the
+   7-code rerun is one command
+   (``python tools/run_regime_grids.py --regime dense --grids base``,
+   ~15 min/run on the tunnel) and is the first queued item for the
+   next round.
 4. **Dense brand delta −0.005 (status: see the regenerated table).**
    Random brand edges smooth item embeddings toward brand means — a
    mild cost in a dense regime; the reference's dense brands are
-   metadata-correlated and score ≈0.  The round-5 dense rerun measures
+   metadata-correlated and score ≈0.  The queued dense rerun measures
    this delta at the new calibration.
 """
 
