@@ -138,6 +138,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Reject /recommend requests with more users than "
                          "this (400) — protects the single dispatcher "
                          "thread from one oversized device batch.")
+    sv.add_argument("--warm_batch", type=int, default=0,
+                    help="Warm the coalesced-dispatch compile ladder at "
+                         "startup with dummy requests of this many users "
+                         "(0 = off).  PERF.md: cold coalesce shapes "
+                         "compiled mid-traffic cost 4.4x QPS on a fresh "
+                         "process; set this to your typical request size "
+                         "in production.")
 
     pr = sub.add_parser("prepare", help="Offline data preparation (ETL).")
     pr.add_argument("--recipe", type=str, required=True,
@@ -508,6 +515,7 @@ def run_serve(args) -> int:
         max_coalesce=args.max_coalesce,
         max_request_users=args.max_request_users,
         reload_fn=reload_retriever,
+        warm=(args.warm_batch, config.top_k) if args.warm_batch else None,
     )
     print(f"serving on http://{args.host}:{server.port} "
           f"({'int8' if args.int8 else 'f32'} catalog, "

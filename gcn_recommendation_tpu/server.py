@@ -86,7 +86,8 @@ class Dispatcher:
     dispatches in arrival order.
     """
 
-    def __init__(self, retriever, max_coalesce: int = 16):
+    def __init__(self, retriever, max_coalesce: int = 16,
+                 warm: Optional[Tuple[int, int]] = None):
         self.retriever = retriever
         self.max_coalesce = max_coalesce
         self.q: "queue.Queue[_Pending]" = queue.Queue()
@@ -99,7 +100,9 @@ class Dispatcher:
             "latency_ms_sum": 0.0,
             "abandoned": 0,
             "reloads": 0,
+            "warm_dispatches": 0,
         }
+        self.warm = warm
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._run, daemon=True)
 
@@ -178,7 +181,34 @@ class Dispatcher:
             r.error = f"{type(e).__name__}: {e}"
         r.done.set()
 
+    def _warm_ladder(self):
+        """Compile the coalesced-dispatch shapes BEFORE taking traffic.
+
+        Measured (PERF.md "HTTP daemon under concurrent load"): a fresh
+        process serving with max_coalesce=16 hit 2.4 QPS / 6.5 s mean
+        latency because every distinct coalesce count is a new dispatch
+        shape compiled through the (slow, remote) tunnel mid-traffic;
+        the warm steady state is 4.4x faster.  Runs on the dispatcher
+        thread (the only thread allowed to dispatch device work — axon
+        rule, CLAUDE.md), so traffic queued during the warm simply
+        waits behind it, exactly like any other dispatch."""
+        import numpy as np
+
+        batch, k = self.warm
+        users = np.zeros(batch, np.int32)
+        m = 1
+        while m <= self.max_coalesce:
+            try:
+                self.retriever.recommend_many([users] * m, k=k)
+                with self.lock:
+                    self.stats["warm_dispatches"] += 1
+            except Exception:
+                pass  # warming is best-effort; real traffic still works
+            m *= 2
+
     def _run(self):
+        if self.warm:
+            self._warm_ladder()
         while not self._stop.is_set():
             batch = self._drain()
             if not batch:
@@ -333,11 +363,13 @@ class RecommendServer:
                  port: int = 8000, max_coalesce: int = 16,
                  timeout_s: float = 60.0, max_request_users: int = 8192,
                  reload_fn: Optional[Callable[[], object]] = None,
-                 reload_timeout_s: float = 600.0):
+                 reload_timeout_s: float = 600.0,
+                 warm: Optional[Tuple[int, int]] = None):
         """``reload_fn``: zero-arg callable returning a fresh Retriever
         (typically: restore the newest checkpoint + re-propagate); wired
         to ``POST /reload`` and executed on the dispatcher thread."""
-        self.dispatcher = Dispatcher(retriever, max_coalesce=max_coalesce)
+        self.dispatcher = Dispatcher(retriever, max_coalesce=max_coalesce,
+                                     warm=warm)
         handler = _make_handler(
             self.dispatcher, num_users, timeout_s,
             num_items=getattr(retriever, "num_items", None),

@@ -253,3 +253,37 @@ def test_dispatcher_skips_abandoned_requests(server_setup):
     d.stop()
     assert stats["abandoned"] == 1
     assert stats["requests"] == 1  # the abandoned one is not counted
+
+
+def test_warm_ladder_compiles_coalesce_shapes(tiny_bundle):
+    """warm=(batch, k) must pre-dispatch the coalesce ladder on the
+    dispatcher thread before traffic (PERF.md: cold coalesce shapes
+    compiled mid-traffic cost 4.4x daemon QPS), and normal requests
+    must still serve afterwards."""
+    import time
+
+    bundle, _ = tiny_bundle
+    cfg = Config(embedding_dim=16, n_layers=2)
+    model = get_model("LightGCN")(
+        bundle.num_users, bundle.num_items, bundle.num_brands, cfg
+    )
+    params = model.init(jax.random.PRNGKey(1))
+    retriever = Retriever.from_params(model, params, bundle)
+    server = RecommendServer(retriever, bundle.num_users, port=0,
+                             max_coalesce=4, warm=(8, 5))
+    server.start_background()
+    try:
+        deadline = time.time() + 30
+        st = {}
+        while time.time() < deadline:
+            _, st = _get(server.port, "/stats")
+            if st.get("warm_dispatches", 0) >= 3:  # m = 1, 2, 4
+                break
+            time.sleep(0.2)
+        assert st["warm_dispatches"] == 3
+        # warm dispatches must not pollute request accounting
+        assert st["requests"] == 0 and st["dispatches"] == 0
+        status, out = _post(server.port, {"users": [0, 1], "k": 5})
+        assert status == 200 and len(out["items"]) == 2
+    finally:
+        server.shutdown()

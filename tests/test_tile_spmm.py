@@ -113,9 +113,14 @@ def test_trainer_flag_end_to_end(heavy_bundle):
     losses = {}
     for tile in (False, True):
         # 1 epoch + fill-16 keep the interpreter-mode kernel cheap on
-        # the CPU suite while still crossing the tile path end-to-end
+        # the CPU suite while still crossing the tile path end-to-end;
+        # checkpoint_dir must be isolated or the best-model save lands
+        # in the repo's default exp/checkpoints (found the hard way: a
+        # later TPU serve drive restored this test's (1500, 32) tables)
+        out = tempfile.mkdtemp(prefix="tile_ckpt_")
         cfg = Config(epochs=1, val_interval=1, batch_size=512,
-                     embedding_dim=32, tile_spmm=tile, tile_min_fill=16)
+                     embedding_dim=32, tile_spmm=tile, tile_min_fill=16,
+                     checkpoint_dir=out)
         model = get_model("LightGCN")(
             heavy_bundle.num_users, heavy_bundle.num_items,
             heavy_bundle.num_brands, cfg,
