@@ -45,6 +45,20 @@ REGIMES = {
     "books": dict(num_users=10000, num_items=5000, num_brands=200,
                   mean_degree=25.0, latent_dim=16, temperature=0.35,
                   pop_scale=0.5),
+    # books_cluster: the next-round starting point for re-banding the
+    # sparse regimes on the cluster generator (hold 0.935 measured at
+    # latent_dim=50 communities / 3 per user, but band 0.68 — way
+    # above books' 0.087).  Band levers, in expected order of effect:
+    # MORE communities per user (5-8 spreads taste, more confusion),
+    # larger communities (latent_dim down at fixed catalog), higher
+    # temperature (draws leak outside communities).  Calibrate with:
+    #   python tools/calibrate_regimes.py --regime books_cluster \
+    #       --clusters_per_user 6 --temperature 0.5 --oracle
+    "books_cluster": dict(num_users=10000, num_items=5000, num_brands=200,
+                          mean_degree=25.0, latent_dim=50, temperature=0.3,
+                          pop_scale=0.5, split="rank", rank_key="taste",
+                          pop_zipf=0.6, deg_sigma=1.0,
+                          taste_style="cluster", clusters_per_user=3),
     # dense steam-like: popularity-concentrated taste.  Calibrated
     # against the ORACLE recall (top-20 by true preference scores given
     # the realized draws — the ceiling no amount of training can beat).
