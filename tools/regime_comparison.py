@@ -202,10 +202,10 @@ EPILOGUE = """
 
 What matches: every regime's absolute recall band, the books emb-init
 uplift sign and scale, the books/zno brand-delta ≈ 0, the sport Fusion
-early peak epoch, and — under the round-5 recalibrated dense recipe
-(committed in tools/calibrate_regimes.py; measured probe + one
-confirming grid run, see divergence 3) — the dense curve shape.  What
-does not, with the attribution:
+early peak epoch, and — after the round-5 dense recalibration and grid
+rerun — the dense curve SHAPE (every base code late-best, hold >=0.99)
+and ALL FOUR dense ordering signs (see divergence 3).  What does not,
+with the attribution:
 
 1. **Post-peak decay in the sparse synthetic regimes (round-5: deeply
    probed, mechanism identified, not yet recalibrated).**  Our sparse
@@ -257,14 +257,16 @@ does not, with the attribution:
    matrix switched to MISLEADING (emb_style='mislead': row-permuted
    factors, strong but taste-unrelated) to attempt the reference's
    dense Fusion collapse (0.6255 -> 0.5364), which pure-noise content
-   cannot produce.  A confirming full grid run of the brand variant on
-   the new recipe reproduced the probe's shape (0.5092 at ep5 climbing
-   to 0.6348 at ep125, converging) before the round's TPU window
-   closed; the dense table above still shows the round-4 grid — the
-   7-code rerun is one command
-   (``python tools/run_regime_grids.py --regime dense --grids base``,
-   ~15 min/run on the tunnel) and is the first queued item for the
-   next round.
+   cannot produce.  The full 7-code grid rerun landed this round (the
+   table above IS the new calibration) and the ordering table went
+   from 1/4 to **4/4 same-sign**: brand +0.0006 (ref ~0), emb uplift
+   -0.0002 (ref +0.0004), fus vs base -0.0095 and fus vs emb -0.0093
+   (ref negative both).  Remaining magnitude gap, honestly: our fusion
+   penalty is -0.010 with hold 0.99 where the reference's is -0.037
+   collapsing to 0.536 — the fusion Linear discounts misleading
+   *synthetic* content (a clean linear map of permuted factors) more
+   easily than real metadata embeddings; producing an uncorrectable
+   misleading-content geometry is an open generator question.
 4. **Dense brand delta −0.005 (status: see the regenerated table).**
    Random brand edges smooth item embeddings toward brand means — a
    mild cost in a dense regime; the reference's dense brands are
