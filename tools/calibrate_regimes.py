@@ -46,14 +46,19 @@ REGIMES = {
                   mean_degree=25.0, latent_dim=16, temperature=0.35,
                   pop_scale=0.5),
     # books_cluster: the next-round starting point for re-banding the
-    # sparse regimes on the cluster generator (hold 0.935 measured at
-    # latent_dim=50 communities / 3 per user, but band 0.68 — way
-    # above books' 0.087).  Band levers, in expected order of effect:
-    # MORE communities per user (5-8 spreads taste, more confusion),
-    # larger communities (latent_dim down at fixed catalog), higher
-    # temperature (draws leak outside communities).  Calibrate with:
-    #   python tools/calibrate_regimes.py --regime books_cluster \
-    #       --clusters_per_user 6 --temperature 0.5 --oracle
+    # sparse regimes on the cluster generator.  End-of-round-5 TPU
+    # probes (all split=rank/rank_key=taste): 50 comm x 3/user t0.3 ->
+    # band 0.68 hold 0.935; 50 x 6 t0.5 -> 0.69 hold 0.997; 25 x 8
+    # t0.6 -> 0.70; 20 comm x 10/user t0.6 ep150 -> 0.69 hold 0.988.
+    # Holds are reference-grade but the BAND is insensitive to
+    # clusters_per_user/temperature/community count in these ranges:
+    # with rank_key='taste' the test item is the user's strongest-
+    # community member, trivially top-ranked once communities are
+    # learned.  Next levers to probe: raise the item jitter (the 0.25
+    # in data/synthetic.py's cluster branch — make it a knob) so
+    # within-community taste order is less learnable; rank_key='full';
+    # or a cluster+gaussian hybrid where community explains only part
+    # of the taste variance.
     "books_cluster": dict(num_users=10000, num_items=5000, num_brands=200,
                           mean_degree=25.0, latent_dim=50, temperature=0.3,
                           pop_scale=0.5, split="rank", rank_key="taste",
